@@ -1,0 +1,96 @@
+"""Oracle rasterizer: exact, slow, per-pixel scan over depth-sorted Gaussians.
+
+This is the numeric reference every production kernel is tested against —
+the same role gsplat's `_torch_impl` plays for its CUDA kernels (the pattern
+the reference repo relies on; see SURVEY.md §4). It reproduces the gsplat
+v0.1 compositing semantics used by the reference plugin
+(rasterize_gaussians call sites sgn_splatfacto.py:954-996):
+
+  per pixel, front-to-back over splats sorted by view depth:
+    sigma  = 0.5*(a*dx^2 + c*dy^2) + b*dx*dy       (dx = center - pixel_center)
+    alpha  = min(0.999, opacity * exp(-sigma))
+    skip   if sigma < 0 or alpha < 1/255
+    next_T = T * (1 - alpha); if next_T <= 1e-4: STOP (before accumulating)
+    out   += color * alpha * T;  T = next_T
+  final: out += T * background;  alpha_out = 1 - T
+
+A splat contributes only to pixels inside its binned tile box, matching the
+tile-based visibility of the production path exactly.
+
+Differentiable end-to-end via lax.scan + where-masking (the masks reproduce
+the skip/termination rules, so autodiff grads match the hand-derived
+backward of the production kernels).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+ALPHA_THRESH = 1.0 / 255.0
+ALPHA_CLAMP = 0.999
+T_EPS = 1e-4
+
+
+def rasterize_reference(
+    xys: jax.Array,        # (N, 2) pixel centers
+    depths: jax.Array,     # (N,)
+    radii: jax.Array,      # (N,) int32; 0 = skip entirely
+    conics: jax.Array,     # (N, 3)
+    colors: jax.Array,     # (N, C)
+    opacities: jax.Array,  # (N,) post-sigmoid
+    tile_box: jax.Array,   # (N, 4) int32 [x0, x1, y0, y1) tile bounds
+    width: int,
+    height: int,
+    tile_size: int = 16,
+    background: jax.Array | None = None,  # (C,)
+):
+    """Returns (img (H, W, C), alpha (H, W))."""
+    C = colors.shape[-1]
+    if background is None:
+        background = jnp.zeros((C,), colors.dtype)
+
+    # Global stable sort by depth (invisible splats pushed to the end).
+    visible = radii > 0
+    sort_depth = jnp.where(visible, depths, jnp.inf)
+    order = jnp.argsort(sort_depth, stable=True)
+
+    xys_s = xys[order]
+    conics_s = conics[order]
+    colors_s = colors[order]
+    opac_s = opacities[order]
+    vis_s = visible[order]
+    box_s = tile_box[order]
+
+    px = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5   # (1, W)
+    py = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5  # (H, 1)
+    tile_x = (jnp.arange(width) // tile_size)[None, :]
+    tile_y = (jnp.arange(height) // tile_size)[:, None]
+
+    def body(carry, splat):
+        T, accum, done = carry
+        xy, conic, color, opac, vis, box = splat
+        dx = xy[0] - px  # (1, W) broadcast -> (H, W)
+        dy = xy[1] - py
+        sigma = 0.5 * (conic[0] * dx * dx + conic[2] * dy * dy) + conic[1] * dx * dy
+        alpha = jnp.minimum(ALPHA_CLAMP, opac * jnp.exp(-sigma))
+        in_box = (
+            (tile_x >= box[0]) & (tile_x < box[1]) & (tile_y >= box[2]) & (tile_y < box[3])
+        )
+        considered = vis & in_box & (sigma >= 0.0) & (alpha >= ALPHA_THRESH) & (~done)
+        next_T = T * (1.0 - alpha)
+        terminate = considered & (next_T <= T_EPS)
+        contributes = considered & (~terminate)
+        w = jnp.where(contributes, alpha * T, 0.0)
+        accum = accum + w[..., None] * color[None, None, :]
+        T = jnp.where(contributes, next_T, T)
+        done = done | terminate
+        return (T, accum, done), None
+
+    T0 = jnp.ones((height, width), jnp.float32)
+    accum0 = jnp.zeros((height, width, C), jnp.float32)
+    done0 = jnp.zeros((height, width), bool)
+    (T, accum, _), _ = jax.lax.scan(
+        body, (T0, accum0, done0), (xys_s, conics_s, colors_s, opac_s, vis_s, box_s)
+    )
+    img = accum + T[..., None] * background[None, None, :]
+    return img, 1.0 - T
