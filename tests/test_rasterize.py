@@ -11,6 +11,7 @@ from street_gaussians_ns_tpu.core.projection import project
 from street_gaussians_ns_tpu.ops.rasterize_ref import rasterize_reference
 from street_gaussians_ns_tpu.ops.tiles import bin_gaussians
 from street_gaussians_ns_tpu.ops.composite_jnp import rasterize_tiles_jnp
+from street_gaussians_ns_tpu.ops.composite_chunked import rasterize_tiles_chunked
 
 
 def make_scene(n=200, seed=0, w=64, h=64):
@@ -44,6 +45,11 @@ def full_pipeline(means, scales, quats, colors, opac, cam, tile_size=16, impl="t
             cam.width, cam.height, tile_size=tile_size, background=bg,
         )
     bins = bin_gaussians(p, cam.width, cam.height, tile_size, max_pairs)
+    if impl == "chunked":
+        return rasterize_tiles_chunked(
+            p.xys, p.conics, colors, opac, bins, cam.width, cam.height,
+            tile_size, bg, max_per_tile, chunk=16,
+        )
     return rasterize_tiles_jnp(
         p.xys, p.conics, colors, opac, bins, cam.width, cam.height, tile_size,
         bg, max_per_tile,
@@ -91,13 +97,32 @@ class TestOracleBasics:
 
 
 class TestTiledVsOracle:
+    @pytest.mark.parametrize("impl", ["tiles", "chunked"])
     @pytest.mark.parametrize("seed,n", [(0, 50), (1, 200), (2, 400)])
-    def test_tiled_matches_oracle(self, seed, n):
+    def test_tiled_matches_oracle(self, seed, n, impl):
         means, scales, quats, colors, opac, cam = make_scene(n, seed)
         img_o, a_o = full_pipeline(means, scales, quats, colors, opac, cam, impl="oracle")
-        img_t, a_t = full_pipeline(means, scales, quats, colors, opac, cam, impl="tiles")
+        img_t, a_t = full_pipeline(means, scales, quats, colors, opac, cam, impl=impl)
         np.testing.assert_allclose(img_t, img_o, atol=1e-5)
         np.testing.assert_allclose(a_t, a_o, atol=1e-5)
+
+    def test_chunked_saturation_termination(self):
+        """Stacks of near-opaque splats: T crosses 1e-4 mid-sequence, so the
+        cross-chunk done-latch must freeze T exactly where the oracle does."""
+        n = 96
+        key = jax.random.PRNGKey(7)
+        means = jnp.concatenate(
+            [jax.random.normal(key, (n, 2)) * 0.2,
+             -jnp.linspace(2.0, 9.0, n)[:, None]], axis=-1)
+        scales = jnp.full((n, 3), 0.8)
+        quats = jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (n, 1))
+        colors = jax.random.uniform(jax.random.PRNGKey(8), (n, 3))
+        opac = jnp.full((n,), 0.95)
+        cam = Camera.make(60.0, 60.0, 32.0, 32.0, jnp.eye(3, 4), 64, 64)
+        img_o, a_o = full_pipeline(means, scales, quats, colors, opac, cam, impl="oracle")
+        img_c, a_c = full_pipeline(means, scales, quats, colors, opac, cam, impl="chunked")
+        np.testing.assert_allclose(img_c, img_o, atol=1e-5)
+        np.testing.assert_allclose(a_c, a_o, atol=1e-5)
 
     def test_tiled_matches_oracle_with_background_and_4ch(self):
         means, scales, quats, colors, opac, cam = make_scene(100, 3)
@@ -133,7 +158,10 @@ class TestGradients:
         args = (means, scales, quats, colors, opac)
         g_o = jax.grad(loss("oracle"))(args)
         g_t = jax.grad(loss("tiles"))(args)
+        g_c = jax.grad(loss("chunked"))(args)
         for a, b in zip(g_o, g_t):
+            np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-3)
+        for a, b in zip(g_o, g_c):
             np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-3)
 
     def test_grads_finite_diff(self):
