@@ -1,0 +1,137 @@
+"""Per-group Adam + exponential-decay schedules.
+
+Replaces nerfstudio's Optimizers registry as configured by the reference
+(/root/reference/street_gaussians_ns/sgn_config.py:71-108): 9 groups, all
+Adam with eps=1e-15, four with exponential LR decay.
+
+Adam is implemented directly (not via optax.adam) because densification
+performs *state surgery*: culled slots and freshly scattered children must
+get zeroed first/second moments, mirroring the reference's
+remove_from_optim/dup_in_optim (sgn_splatfacto.py:459-511) — with moments
+held as plain (CAP, ...) arrays matching the params, that surgery is a
+masked where(), shape-stable and shardable.
+
+Semantics match torch.optim.Adam: bias-corrected moments, eps added
+*outside* the sqrt, one shared step count per group.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class AdamConfig:
+    lr: float
+    eps: float = 1e-15
+    b1: float = 0.9
+    b2: float = 0.999
+    # Exponential decay to lr_final over max_steps (nerfstudio
+    # ExponentialDecaySchedulerConfig); None = constant lr.
+    lr_final: Optional[float] = None
+    max_steps: int = 70000
+
+
+def schedule(config: AdamConfig, step: jax.Array) -> jax.Array:
+    """lr(step) = lr * (lr_final/lr)^(t/max_steps), clamped at lr_final."""
+    if config.lr_final is None:
+        return jnp.float32(config.lr)
+    t = jnp.clip(step.astype(jnp.float32) / config.max_steps, 0.0, 1.0)
+    return jnp.float32(config.lr) * (config.lr_final / config.lr) ** t
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AdamState:
+    mu: Any      # pytree matching params
+    nu: Any      # pytree matching params
+    count: jax.Array  # () int32
+
+
+def init_adam(params) -> AdamState:
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    return AdamState(mu=zeros, nu=jax.tree.map(jnp.zeros_like, params),
+                     count=jnp.zeros((), jnp.int32))
+
+
+def adam_update(
+    grads, state: AdamState, params, lr: jax.Array, config: AdamConfig,
+):
+    """One Adam step. Returns (new_params, new_state)."""
+    count = state.count + 1
+    b1, b2 = config.b1, config.b2
+    c1 = 1.0 - b1 ** count.astype(jnp.float32)
+    c2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+    def upd(p, g, m, v):
+        m = b1 * m + (1.0 - b1) * g
+        v = b2 * v + (1.0 - b2) * (g * g)
+        step_ = lr * (m / c1) / (jnp.sqrt(v / c2) + config.eps)
+        return p - step_, m, v
+
+    flat_p, treedef = jax.tree.flatten(params)
+    flat_g = treedef.flatten_up_to(grads)
+    flat_m = treedef.flatten_up_to(state.mu)
+    flat_v = treedef.flatten_up_to(state.nu)
+    out = [upd(p, g, m, v) for p, g, m, v in zip(flat_p, flat_g, flat_m, flat_v)]
+    new_p = treedef.unflatten([o[0] for o in out])
+    new_m = treedef.unflatten([o[1] for o in out])
+    new_v = treedef.unflatten([o[2] for o in out])
+    return new_p, AdamState(mu=new_m, nu=new_v, count=count)
+
+
+def mask_moments(state: AdamState, keep: jax.Array) -> AdamState:
+    """Zero first/second moments where ~keep (keep broadcasts over leading
+    axis) — the fixed-capacity analog of remove_from_optim/dup_in_optim."""
+    def m(x):
+        k = keep.reshape(keep.shape + (1,) * (x.ndim - keep.ndim))
+        return jnp.where(k, x, 0.0)
+    return AdamState(mu=jax.tree.map(m, state.mu),
+                     nu=jax.tree.map(m, state.nu), count=state.count)
+
+
+# The reference's optimizer registry (sgn_config.py:71-108).
+DEFAULT_GROUPS: Dict[str, AdamConfig] = {
+    "sky_sphere": AdamConfig(lr=5e-3),
+    "camera_opt": AdamConfig(lr=1e-3, lr_final=5e-5, max_steps=70000),
+    "bbox_opt": AdamConfig(lr=1e-3, lr_final=5e-5, max_steps=70000),
+    "means": AdamConfig(lr=1.6e-4, lr_final=1.6e-6, max_steps=70000),
+    "features_dc": AdamConfig(lr=2.5e-3),
+    "features_rest": AdamConfig(lr=2.5e-3 / 20),
+    "opacities": AdamConfig(lr=5e-2),
+    "scales": AdamConfig(lr=5e-3),
+    "quats": AdamConfig(lr=1e-3),
+}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GroupedAdamState:
+    states: Dict[str, AdamState]
+
+
+def init_grouped(params_by_group: Dict[str, Any]) -> GroupedAdamState:
+    return GroupedAdamState(states={k: init_adam(v)
+                                    for k, v in params_by_group.items()})
+
+
+def grouped_update(
+    grads_by_group: Dict[str, Any],
+    opt: GroupedAdamState,
+    params_by_group: Dict[str, Any],
+    step: jax.Array,
+    groups: Dict[str, AdamConfig] = DEFAULT_GROUPS,
+):
+    """Per-group Adam step with each group's scheduled LR."""
+    new_params, new_states = {}, {}
+    for name, params in params_by_group.items():
+        cfg = groups[name]
+        lr = schedule(cfg, step)
+        p, s = adam_update(grads_by_group[name], opt.states[name], params,
+                           lr, cfg)
+        new_params[name] = p
+        new_states[name] = s
+    return new_params, GroupedAdamState(states=new_states)

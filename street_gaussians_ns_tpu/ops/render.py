@@ -100,6 +100,8 @@ def render(
     config: RenderConfig,
     sky_rgb: Optional[jax.Array] = None,  # (H, W, 3) sky behind the splats
     training: bool = True,
+    active: Optional[jax.Array] = None,   # (N,) bool mask of live gaussians
+    xys_offset: Optional[jax.Array] = None,  # (N, 2), see below
 ) -> RenderOutputs:
     """Full forward render of one camera.
 
@@ -113,6 +115,18 @@ def render(
     proj = project(means, scales, quats, vm, camera.fx, camera.fy,
                    camera.cx, camera.cy, camera.width, camera.height,
                    tile_size=config.tile_size)
+    if active is not None:
+        # Inactive slots emit no tile pairs and render as radius-0.
+        proj = dataclasses.replace(
+            proj,
+            radii=jnp.where(active, proj.radii, 0),
+            num_tiles_hit=jnp.where(active, proj.num_tiles_hit, 0),
+        )
+    if xys_offset is not None:
+        # A zero-valued hook: grad w.r.t. xys_offset = screen-space
+        # positional gradients, the densification signal the reference gets
+        # via xys.retain_grad() (sgn_splatfacto.py:889-890, 513-541).
+        proj = dataclasses.replace(proj, xys=proj.xys + xys_offset)
 
     # rgb + depth as one 4-channel composite (bg = 0 for both).
     colors4 = jnp.concatenate([rgbs, proj.depths[:, None]], axis=-1)

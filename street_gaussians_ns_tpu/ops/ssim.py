@@ -21,12 +21,18 @@ K2 = 0.03
 
 
 @functools.lru_cache(maxsize=8)
+def _gaussian_window_np(win_size: int, sigma: float):
+    # numpy on purpose: caching a device array created during a jit trace
+    # leaks trace-scoped state; a numpy constant is embedded per-compile.
+    import numpy as np
+
+    coords = np.arange(win_size, dtype=np.float32) - (win_size - 1) / 2.0
+    g = np.exp(-(coords ** 2) / (2.0 * sigma ** 2))
+    return g / g.sum()
+
+
 def _gaussian_window(win_size: int, sigma: float):
-    # Built eagerly once per (size, sigma); constant-folded under jit.
-    coords = jnp.arange(win_size, dtype=jnp.float32) - (win_size - 1) / 2.0
-    g = jnp.exp(-(coords ** 2) / (2.0 * sigma ** 2))
-    g = g / g.sum()
-    return g
+    return jnp.asarray(_gaussian_window_np(win_size, sigma))
 
 
 def _blur(x: jax.Array, win: jax.Array) -> jax.Array:
