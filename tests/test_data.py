@@ -1,0 +1,263 @@
+"""Data-layer tests: COLMAP bin/txt readers (against byte layouts written
+here), PLY round-trip + Inria export layout, annotation parsing, pose
+orientation math, dataparser end-to-end on a synthetic clip."""
+import json
+import struct
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from street_gaussians_ns_tpu.data import colmap_io
+from street_gaussians_ns_tpu.data.annotations import load_annotations
+from street_gaussians_ns_tpu.data.dataparser import (
+    DataParserConfig, auto_orient_and_center_poses, parse_scene,
+    rotation_matrix_between)
+from street_gaussians_ns_tpu.data.dataset import (SEM_GROUND, SEM_SKY,
+                                                  load_semantics)
+from street_gaussians_ns_tpu.data.ply_io import (read_ply_points, write_ply,
+                                                 write_gaussian_ply, read_ply)
+
+
+# ---------------------------------------------------------------- fixtures
+
+def write_colmap_binary(recon: Path, n_cams=2, n_frames=6):
+    recon.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(0)
+    with open(recon / "cameras.bin", "wb") as f:
+        f.write(struct.pack("<Q", n_cams))
+        for cid in range(1, n_cams + 1):
+            # PINHOLE fx fy cx cy
+            f.write(struct.pack("<iiQQ", cid, 1, 64, 48))
+            f.write(struct.pack("<4d", 60.0 + cid, 61.0 + cid, 32.0, 24.0))
+    names = []
+    with open(recon / "images.bin", "wb") as f:
+        f.write(struct.pack("<Q", n_frames))
+        for i in range(1, n_frames + 1):
+            q = rng.randn(4)
+            q /= np.linalg.norm(q)
+            t = rng.randn(3) * 0.1 + [0, 0, 4.0]
+            cam_id = 1 + (i - 1) % n_cams
+            name = f"cam{cam_id}/{1000000000000000 + i}.jpg"
+            names.append(name)
+            f.write(struct.pack("<idddddddi", i, *q, *t, cam_id))
+            f.write(name.encode() + b"\x00")
+            f.write(struct.pack("<Q", 2))
+            for p in range(2):
+                f.write(struct.pack("<ddq", 1.0 * p, 2.0 * p, p))
+    with open(recon / "points3D.bin", "wb") as f:
+        f.write(struct.pack("<Q", 50))
+        for i in range(50):
+            f.write(struct.pack("<QdddBBBd", i, *rng.randn(3), 10, 20, 30,
+                                0.5))
+            f.write(struct.pack("<Q", 1))
+            f.write(struct.pack("<ii", 1, 0))
+    return names
+
+
+def write_clip(tmp: Path, with_annotations=True):
+    names = write_colmap_binary(tmp / "colmap/sparse/0")
+    # images + segs
+    from PIL import Image
+    for name in names:
+        p = tmp / "images" / name
+        p.parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(
+            (np.random.RandomState(0).rand(48, 64, 3) * 255).astype(np.uint8)
+        ).save(p)
+        sp = (tmp / "segs" / name).with_suffix(".png")
+        sp.parent.mkdir(parents=True, exist_ok=True)
+        seg = np.zeros((48, 64), np.uint8)
+        seg[:10] = 27     # sky strip
+        seg[40:] = 7      # ground strip
+        Image.fromarray(seg).save(sp)
+    # transform.json
+    ts0 = 1000000000000000
+    meta = {"frames": [
+        {"file_path": f"images/{n}", "timestamp": ts0 + i,
+         "transform_matrix": np.eye(4).tolist()}
+        for i, n in enumerate(names)]}
+    json.dump(meta, open(tmp / "transform.json", "w"))
+    if with_annotations:
+        lidar = tmp / "aggregate_lidar/dynamic_objects"
+        lidar.mkdir(parents=True)
+        pts = np.random.RandomState(1).randn(12000, 3).astype(np.float32)
+        write_ply(lidar / "veh1.ply", {
+            "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
+            "red": np.full(12000, 128, np.uint8),
+            "green": np.full(12000, 64, np.uint8),
+            "blue": np.full(12000, 32, np.uint8)})
+        anno = {"frames": [
+            {"timestamp": ts0 + i, "objects": [
+                {"gid": "veh1", "type": "car", "is_moving": True,
+                 "translation": [float(i), 0.0, 0.0],
+                 "rotation": [1.0, 0.0, 0.0, 0.0],
+                 "size": [4.0, 2.0, 1.5]},
+                {"gid": "parked", "type": "car", "is_moving": False,
+                 "translation": [9.0, 9.0, 9.0],
+                 "rotation": [1.0, 0.0, 0.0, 0.0],
+                 "size": [4.0, 2.0, 1.5]},
+            ]} for i in range(3)]}
+        json.dump(anno, open(tmp / "annotation.json", "w"))
+    return names
+
+
+# ------------------------------------------------------------------- tests
+
+class TestColmapIO:
+    def test_binary_roundtrip(self, tmp_path):
+        write_colmap_binary(tmp_path)
+        cams = colmap_io.read_cameras(tmp_path)
+        assert len(cams) == 2 and cams[1].model == "PINHOLE"
+        np.testing.assert_allclose(cams[1].params, [61.0, 62.0, 32.0, 24.0])
+        ims = colmap_io.read_images(tmp_path)
+        assert len(ims) == 6
+        assert ims[1].name.startswith("cam1/")
+        assert ims[1].point3d_ids.tolist() == [0, 1]
+        xyz, rgb, err, ids = colmap_io.read_points3d(
+            tmp_path / "points3D.bin")
+        assert xyz.shape == (50, 3) and rgb[0].tolist() == [10, 20, 30]
+
+    def test_qvec_rotmat_roundtrip(self):
+        rng = np.random.RandomState(3)
+        for _ in range(10):
+            q = rng.randn(4)
+            q /= np.linalg.norm(q)
+            R = colmap_io.qvec2rotmat(q)
+            q2 = colmap_io.rotmat2qvec(R)
+            assert min(np.abs(q - q2).max(), np.abs(q + q2).max()) < 1e-8
+
+
+class TestPly:
+    def test_roundtrip(self, tmp_path):
+        pts = np.random.RandomState(0).randn(100, 3).astype(np.float32)
+        write_ply(tmp_path / "a.ply", {"x": pts[:, 0], "y": pts[:, 1],
+                                       "z": pts[:, 2]})
+        xyz, rgb = read_ply_points(tmp_path / "a.ply")
+        np.testing.assert_allclose(xyz, pts, rtol=1e-6)
+        assert rgb is None
+
+    def test_gaussian_ply_layout(self, tmp_path):
+        n, k = 20, 16
+        rng = np.random.RandomState(0)
+        means = rng.randn(n, 3).astype(np.float32)
+        means[3, 0] = np.nan  # must be filtered
+        written = write_gaussian_ply(
+            tmp_path / "gs.ply", means, rng.randn(n, 3),
+            rng.randn(n, k - 1, 3), rng.randn(n), rng.randn(n, 3),
+            rng.randn(n, 4))
+        assert written == n - 1
+        v = read_ply(tmp_path / "gs.ply")
+        expected = (["x", "y", "z", "nx", "ny", "nz"]
+                    + [f"f_dc_{i}" for i in range(3)]
+                    + [f"f_rest_{i}" for i in range(3 * (k - 1))]
+                    + ["opacity"] + [f"scale_{i}" for i in range(3)]
+                    + [f"rot_{i}" for i in range(4)])
+        assert list(v.keys()) == expected
+
+
+class TestOrientation:
+    def test_rotation_matrix_between(self):
+        rng = np.random.RandomState(0)
+        for _ in range(5):
+            a, b = rng.randn(3), rng.randn(3)
+            R = rotation_matrix_between(a, b)
+            np.testing.assert_allclose(R @ (a / np.linalg.norm(a)),
+                                       b / np.linalg.norm(b), atol=1e-8)
+
+    def test_orient_up_and_center(self):
+        rng = np.random.RandomState(1)
+        poses = np.tile(np.eye(4), (10, 1, 1))
+        # camera y axes all pointing at some skew direction
+        tilt = rotation_matrix_between(np.array([0, 0, 1.0]),
+                                       np.array([0.3, 0.2, 0.9]))
+        poses[:, :3, :3] = tilt
+        poses[:, :3, 3] = rng.randn(10, 3) + 5.0
+        oriented, transform = auto_orient_and_center_poses(poses)
+        # Mean origin at 0; mean up aligned to +z.
+        np.testing.assert_allclose(oriented[:, :3, 3].mean(0), 0, atol=1e-8)
+        up = oriented[:, :3, 1].mean(0)
+        np.testing.assert_allclose(up / np.linalg.norm(up), [0, 0, 1],
+                                   atol=1e-8)
+
+
+class TestAnnotations:
+    def test_load_and_filter(self, tmp_path):
+        write_clip(tmp_path)
+        db, tracks = load_annotations(
+            tmp_path / "annotation.json",
+            lidar_path=tmp_path / "aggregate_lidar/dynamic_objects",
+            scale_factor=2.0)
+        # parked car filtered (not moving); veh1 kept
+        assert db.track_ids == ["veh1"]
+        assert tracks.num_frames == 3 and tracks.num_objects == 1
+        # EXP_RATE inflation * scale 2
+        np.testing.assert_allclose(db.sizes[0],
+                                   np.array([4, 2, 1.5]) *
+                                   np.array([1.3, 1.3, 1.1]) * 2.0,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(tracks.centers)[1, 0],
+                                   [2.0, 0.0, 0.0], atol=1e-6)
+        xyz, rgb = db.seed_points["veh1"]
+        assert xyz.shape[0] == 12000 and rgb.shape == (12000, 3)
+
+
+class TestDataParser:
+    def test_parse_synthetic_clip(self, tmp_path):
+        write_clip(tmp_path)
+        cfg = DataParserConfig(data=tmp_path, load_dynamic_annotations=True)
+        scene = parse_scene(cfg)
+        assert scene.num_frames == 6
+        # sorted by (camera_id, time): first 3 frames are camera 1
+        assert scene.camera_ids[:3].tolist() == [1, 1, 1]
+        # poses oriented + scaled into unit box
+        assert np.abs(scene.c2w[:, :3, 3]).max() <= 1.0 + 1e-5
+        assert scene.points_xyz.shape == (50, 3)
+        assert len(scene.train_indices) + len(scene.eval_indices) == 6
+        assert scene.annotations.track_ids == ["veh1"]
+        # times rebased to seconds, start at 0
+        assert scene.times.min() == 0.0
+        assert scene.times.max() < 1.0
+
+    def test_filter_camera_id(self, tmp_path):
+        write_clip(tmp_path, with_annotations=False)
+        cfg = DataParserConfig(data=tmp_path, filter_camera_id=[1],
+                               load_dynamic_annotations=False)
+        scene = parse_scene(cfg)
+        used = set(scene.train_indices) | set(scene.eval_indices)
+        assert all(scene.camera_ids[i] == 1 for i in used)
+
+
+class TestSemantics:
+    def test_remap(self, tmp_path):
+        from PIL import Image
+        seg = np.zeros((8, 8), np.uint8)
+        seg[0] = 27
+        seg[1] = 7
+        seg[2] = 24
+        seg[3] = 5
+        Image.fromarray(seg).save(tmp_path / "s.png")
+        out = load_semantics(tmp_path / "s.png")
+        assert (out[0] == SEM_SKY).all()
+        assert (out[1] == SEM_GROUND).all()
+        assert (out[2] == SEM_GROUND).all()
+        assert (out[3] == 0).all()
+
+
+class TestDataManager:
+    def test_epoch_sampling_without_replacement(self, tmp_path):
+        from street_gaussians_ns_tpu.data.datamanager import (
+            DataManagerConfig, FullImageDatamanager)
+        write_clip(tmp_path, with_annotations=False)
+        scene = parse_scene(DataParserConfig(
+            data=tmp_path, load_dynamic_annotations=False))
+        dm = FullImageDatamanager(scene, DataManagerConfig(undistort=False))
+        seen = []
+        for _ in range(dm.num_train):
+            cam, batch = dm.next_train()
+            seen.append(float(cam.time))
+            assert batch["image"].shape == (48, 64, 3)
+            assert "semantic" in batch
+        assert len(set(seen)) == dm.num_train  # each frame exactly once
+        evals = list(dm.fixed_indices_eval())
+        assert len(evals) == dm.num_eval
