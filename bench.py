@@ -1,0 +1,92 @@
+"""Headline benchmark: rasterized Mpix/s per chip, forward + backward.
+
+Scene: Waymo-scale synthetic — 1600x1056 image (the reference downscales
+Waymo frames to max dim ~1600, sgn_dataparser.py:39), 1M Gaussians in a
+street-like frustum distribution. Measures the full differentiable render
+step: EWA projection -> tile binning + (tile,depth) sort -> fused alpha
+compositing (rgb+depth) -> L1 loss -> backward to all Gaussian params
+(incl. the screen-space xy grads densification needs).
+
+Baseline (BASELINE.md): the reference trains 30k steps in ~0.5 h on an
+RTX 4090 => ~16.7 steps/s at ~1.71 Mpix/frame => ~28.5 Mpix/s fwd+bwd
+(an upper bound for the CUDA path since that time also includes optimizer
+and refinement). vs_baseline = ours / 28.5.
+
+Prints ONE JSON line.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from street_gaussians_ns_tpu.core import quaternions as quat
+from street_gaussians_ns_tpu.core.cameras import Camera
+from street_gaussians_ns_tpu.ops.render import RenderConfig, render
+
+BASELINE_MPIX_S = 28.5
+
+
+def make_scene(n, seed=0):
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 6)
+    # Street-like: points spread along a corridor in front of the camera.
+    xy = jax.random.normal(ks[0], (n, 2)) * jnp.array([8.0, 2.0])
+    z = -(jax.random.uniform(ks[1], (n,)) ** 1.5) * 60.0 - 2.0
+    means = jnp.concatenate([xy, z[:, None]], axis=-1)
+    scales = jnp.exp(jax.random.normal(ks[2], (n, 3)) * 0.5 - 3.3)
+    quats = quat.random_quats(ks[3], n)
+    rgbs = jax.random.uniform(ks[4], (n, 3))
+    opac = jax.random.uniform(ks[5], (n,)) * 0.8 + 0.1
+    return means, scales, quats, opac, rgbs
+
+
+def main():
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    n = 1_000_000 if on_tpu else 20_000
+    w, h = (1600, 1056) if on_tpu else (400, 400)
+    impl = "pallas" if on_tpu else "chunked"
+    cfg = RenderConfig(
+        max_pairs=2 ** 23 if on_tpu else 2 ** 17,
+        max_per_tile=4096 if on_tpu else 512,
+        chunk=64 if on_tpu else 32,
+        impl=impl,
+    )
+    means, scales, quats, opac, rgbs = make_scene(n)
+    cam = Camera.make(1200.0, 1200.0, w / 2, h / 2, jnp.eye(3, 4), w, h)
+    target = jnp.zeros((h, w, 3), jnp.float32)
+
+    def loss_fn(means, scales, quats, opac, rgbs):
+        out = render(means, scales, quats, opac, rgbs, cam, cfg)
+        return jnp.mean(jnp.abs(out.rgb - target))
+
+    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
+
+    # Warmup/compile.
+    g = step(means, scales, quats, opac, rgbs)
+    jax.block_until_ready(g)
+
+    iters = 20 if on_tpu else 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        g = step(means, scales, quats, opac, rgbs)
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / iters
+
+    mpix_s = (w * h / 1e6) / dt
+    print(json.dumps({
+        "metric": "rasterize_fwd_bwd_mpix_per_s",
+        "value": round(mpix_s, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
+        "detail": {"backend": backend, "impl": impl, "gaussians": n,
+                   "resolution": [w, h], "ms_per_step": round(dt * 1e3, 2)},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,8 @@ class FullImageDatamanager:
         return self._frame_to_sample(self._cache[idx])
 
     def next_eval(self, step: int = 0):
+        if self.num_eval == 0:
+            return None, None
         idx = int(self.rng.choice(self.scene.eval_indices))
         return self._frame_to_sample(self._cache[idx])
 

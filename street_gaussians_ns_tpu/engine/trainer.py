@@ -1,0 +1,209 @@
+"""Training runtime: the host loop around the jitted scene-graph step.
+
+Replaces nerfstudio's Trainer as configured by the reference
+(sgn_config.py:21-113; call stack SURVEY.md §3.1): per step — next_train
+batch, jitted train step (forward/losses/backward/9-group Adam/stat
+accumulation), every refine_every a jitted refinement pass, eval image
+every steps_per_eval_image, checkpoint every steps_per_save.
+
+The single-model "splatfacto" pipeline is the degenerate scene graph with
+zero objects — one code path, one compiled program per camera resolution.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.datamanager import DataManagerConfig, FullImageDatamanager
+from ..data.dataparser import DataParserConfig, ParsedScene, parse_scene
+from ..models.gaussians import GaussianStore, init_gaussians
+from ..models.scene_graph import (SceneGraphConfig, empty_tracks,
+                                  forward_scene, init_scene_graph_store)
+from ..ops.render import RenderConfig
+from ..ops.ssim import psnr, ssim
+from ..utils.writer import MetricsWriter
+from .checkpoints import latest_checkpoint, restore_checkpoint, save_checkpoint
+from .scene_train_step import (SceneTrainState, init_scene_train_state,
+                               scene_refine_step, scene_train_step)
+from .setup import save_run_config
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    """Mirror of the reference TrainerConfig surface (sgn_config.py:22-30)."""
+
+    max_num_iterations: int = 30000
+    steps_per_save: int = 2000
+    steps_per_eval_image: int = 500
+    steps_per_eval_all_images: int = 30000
+    background_capacity: int = 2 ** 20
+    object_capacity: int = 2 ** 15
+    max_pairs: int = 2 ** 22
+    seed: int = 42
+    output_dir: Path = Path("outputs/run")
+    resume: bool = True
+    render_impl: str = "pallas"   # "pallas" on TPU, "chunked" portable
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def build_stores(scene: ParsedScene, config: SceneGraphConfig,
+                 trainer: TrainerConfig, rng: jax.Array):
+    """Background store from SfM/LiDAR seeds; stacked object stores from
+    per-track aggregated LiDAR (scene_graph populate_modules :49-96)."""
+    k_bg, k_obj = jax.random.split(rng)
+    bg = init_gaussians(
+        trainer.background_capacity,
+        scene.points_xyz if not config.background.random_init else None,
+        scene.points_rgb if not config.background.random_init else None,
+        sh_degree=config.base.sh_degree,
+        fourier_dim=config.background.fourier_features_dim,
+        num_random=config.background.num_random,
+        random_scale=config.background.random_scale,
+        rng=k_bg)
+
+    db = scene.annotations
+    if db is None or db.num_objects == 0:
+        # Zero-object degenerate scene graph.
+        obj = jax.tree.map(lambda x: x[None][:0], bg)  # empty leading axis
+        tracks = scene.tracks if scene.tracks is not None else empty_tracks()
+        return bg, obj, tracks
+
+    cap = trainer.object_capacity
+    stores = []
+    for i, gid in enumerate(db.track_ids):
+        xyz, rgb = db.seed_points[gid]
+        stores.append(init_gaussians(
+            cap, xyz, rgb,
+            sh_degree=config.base.sh_degree,
+            fourier_dim=config.object_template.fourier_features_dim,
+            rng=jax.random.fold_in(k_obj, i)))
+    obj = jax.tree.map(lambda *xs: jnp.stack(xs), *stores)
+    return bg, obj, scene.tracks
+
+
+class Trainer:
+    def __init__(
+        self,
+        data_config: DataParserConfig,
+        scene_config: SceneGraphConfig = SceneGraphConfig(),
+        trainer_config: TrainerConfig = TrainerConfig(),
+        dm_config: DataManagerConfig = DataManagerConfig(),
+    ):
+        self.data_config = data_config
+        self.config = scene_config
+        self.tc = trainer_config
+        self.writer = MetricsWriter(trainer_config.output_dir)
+        save_run_config(Path(trainer_config.output_dir), data_config,
+                        scene_config, trainer_config, dm_config)
+
+        self.writer.log(f"parsing scene {data_config.data}")
+        self.scene = parse_scene(data_config)
+        self.dm = FullImageDatamanager(self.scene, dm_config)
+        self.writer.log(
+            f"{self.dm.num_train} train / {self.dm.num_eval} eval frames, "
+            f"{0 if self.scene.annotations is None else self.scene.annotations.num_objects}"
+            " objects")
+
+        rng = jax.random.PRNGKey(trainer_config.seed)
+        k_init, k_state = jax.random.split(rng)
+        bg, obj, self.tracks = build_stores(self.scene, scene_config,
+                                            trainer_config, k_init)
+        store = init_scene_graph_store(bg, obj, self.tracks, scene_config)
+        self.state = init_scene_train_state(store, k_state)
+        self.start_step = 0
+
+        ckpt_dir = Path(trainer_config.output_dir) / "checkpoints"
+        if trainer_config.resume:
+            latest = latest_checkpoint(ckpt_dir)
+            if latest is not None:
+                self.state = restore_checkpoint(latest, self.state)
+                self.start_step = int(self.state.step)
+                self.writer.log(f"resumed from {latest} @ {self.start_step}")
+        self.ckpt_dir = ckpt_dir
+
+        self.render_config = RenderConfig(
+            max_pairs=trainer_config.max_pairs,
+            impl=trainer_config.render_impl)
+        self._step_fns = {}
+        self._refine_fn = jax.jit(functools.partial(
+            scene_refine_step, config=self.config,
+            num_train_data=self.dm.num_train))
+
+    def _step_fn(self, height: int, width: int):
+        key = (height, width)
+        if key not in self._step_fns:
+            self._step_fns[key] = jax.jit(functools.partial(
+                scene_train_step, config=self.config,
+                render_config=self.render_config))
+        return self._step_fns[key]
+
+    def _device_batch(self, batch):
+        out = {"image": jnp.asarray(batch["image"])}
+        if "mask" in batch:
+            out["mask"] = jnp.asarray(batch["mask"])
+        if "semantic" in batch:
+            out["semantic"] = jnp.asarray(batch["semantic"])
+        return out
+
+    def train(self, num_iterations: Optional[int] = None):
+        total = num_iterations or self.tc.max_num_iterations
+        refine_every = self.config.background.refine_every
+        t_last = time.time()
+        for step in range(self.start_step, total):
+            camera, batch = self.dm.next_train(step)
+            fn = self._step_fn(camera.height, camera.width)
+            self.state, metrics = fn(self.state, self.tracks, camera,
+                                     self._device_batch(batch))
+            if (step + 1) % refine_every == 0:
+                max_hw = jnp.float32(max(camera.height, camera.width))
+                self.state, info = self._refine_fn(self.state, max_hw=max_hw)
+                metrics.update(info)
+            if step % 10 == 0:
+                m = {k: float(v) for k, v in metrics.items()
+                     if jnp.ndim(v) == 0}
+                dt = time.time() - t_last
+                t_last = time.time()
+                m["steps_per_sec"] = (10 if step else 1) / max(dt, 1e-9)
+                self.writer.write(step, m)
+                if step % 100 == 0:
+                    self.writer.log(
+                        f"step {step}: loss={m.get('loss', 0):.4f} "
+                        f"psnr={m.get('psnr', 0):.2f} "
+                        f"N={int(m.get('gaussian_count', 0))} "
+                        f"({m['steps_per_sec']:.2f} it/s)")
+            if (step + 1) % self.tc.steps_per_eval_image == 0:
+                self.eval_image(step)
+            if (step + 1) % self.tc.steps_per_save == 0 or step + 1 == total:
+                path = save_checkpoint(self.ckpt_dir, step + 1, self.state)
+                self.writer.log(f"saved {path}")
+        return self.state
+
+    def eval_image(self, step: int):
+        camera, batch = self.dm.next_eval(step)
+        if camera is None:
+            return {}
+        outputs, _, _ = jax.jit(
+            functools.partial(forward_scene, config=self.config,
+                              render_config=self.render_config,
+                              training=False)
+        )(self.state.store, self.tracks, camera, self.state.step)
+        gt = jnp.asarray(batch["image"])
+        m = {"psnr": float(psnr(outputs["rgb"], gt)),
+             "ssim": float(ssim(gt, outputs["rgb"]))}
+        self.writer.write(step, m, prefix="eval")
+        self.writer.log(f"eval @ {step}: psnr={m['psnr']:.2f} "
+                        f"ssim={m['ssim']:.4f}")
+        return m

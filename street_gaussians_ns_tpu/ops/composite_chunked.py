@@ -74,36 +74,29 @@ def composite_chunk(
     return accum_delta, T_out, done_out
 
 
-def rasterize_tiles_chunked(
+def composite_tiles(
     xys: jax.Array,        # (N, 2)
     conics: jax.Array,     # (N, 3)
     colors: jax.Array,     # (N, C)
     opacities: jax.Array,  # (N,)
     bins: TileBins,
-    width: int,
-    height: int,
+    tile_ids: jax.Array,   # (T_local,) int32 tiles to composite
     tile_size: int,
-    background: jax.Array,     # (C,)
     max_per_tile: int,
     chunk: int = 32,
 ):
-    """Tile-parallel chunked compositing. Returns (img (H,W,C), alpha (H,W)).
-
-    Same contract as ops.composite_jnp.rasterize_tiles_jnp (splats beyond
-    max_per_tile per tile are dropped), but the inner loop is over
-    max_per_tile/chunk steps of MXU-shaped work instead of max_per_tile
-    steps of scalar-ish FMA.
-    """
-    ntx, nty = bins.num_tiles_x, bins.num_tiles_y
-    num_tiles = ntx * nty
+    """Composite an explicit set of tiles. Returns (accum (T_local, P, C)
+    premultiplied, alpha (T_local, P)). This is the shardable core: a
+    'model'-parallel render strips `tile_ids` across devices
+    (parallel.sharded) while the single-device path passes all tiles."""
+    ntx = bins.num_tiles_x
     P = tile_size * tile_size
-    C = colors.shape[-1]
     M = -(-max_per_tile // chunk) * chunk  # round up to chunk multiple
 
     # Per-tile gathered splat lists (T, M) in sorted (tile, depth) order.
     m = jnp.arange(M, dtype=jnp.int32)[None, :]
-    pair_idx = bins.tile_start[:, None] + m
-    in_range = m < bins.tile_count[:, None]
+    pair_idx = bins.tile_start[tile_ids][:, None] + m
+    in_range = m < bins.tile_count[tile_ids][:, None]
     pair_idx = jnp.clip(pair_idx, 0, bins.gauss_idx.shape[0] - 1)
     gidx = bins.gauss_idx[pair_idx]                               # (T, M)
 
@@ -113,14 +106,15 @@ def rasterize_tiles_chunked(
     op_t = opacities[gidx]
 
     # Per-tile pixel centers (T, P).
-    tid = jnp.arange(num_tiles, dtype=jnp.int32)
-    px = ((tid % ntx) * tile_size)[:, None].astype(jnp.float32) + (
+    px = ((tile_ids % ntx) * tile_size)[:, None].astype(jnp.float32) + (
         jnp.arange(P, dtype=jnp.int32) % tile_size
     )[None, :] + 0.5
-    py = ((tid // ntx) * tile_size)[:, None].astype(jnp.float32) + (
+    py = ((tile_ids // ntx) * tile_size)[:, None].astype(jnp.float32) + (
         jnp.arange(P, dtype=jnp.int32) // tile_size
     )[None, :] + 0.5
 
+    num_tiles = tile_ids.shape[0]
+    C = colors.shape[-1]
     n_chunks = M // chunk
 
     def body(carry, sl):
@@ -148,12 +142,48 @@ def rasterize_tiles_chunked(
                             chunked(op_t), chunked(in_range)),
     )
     accum = jnp.sum(deltas, axis=0)                                # (T, P, C)
+    return accum, 1.0 - T
 
-    img_tiles = accum + T[..., None] * background[None, None, :]
-    alpha_tiles = 1.0 - T
 
-    img = img_tiles.reshape(nty, ntx, tile_size, tile_size, C)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(nty * tile_size, ntx * tile_size, C)
-    alpha = alpha_tiles.reshape(nty, ntx, tile_size, tile_size)
-    alpha = alpha.transpose(0, 2, 1, 3).reshape(nty * tile_size, ntx * tile_size)
-    return img[:height, :width], alpha[:height, :width]
+def tiles_to_image(tiles: jax.Array, ntx: int, nty: int, tile_size: int,
+                   width: int, height: int) -> jax.Array:
+    """(T, P, C) or (T, P) tile-major layout -> cropped image."""
+    squeeze = tiles.ndim == 2
+    if squeeze:
+        tiles = tiles[..., None]
+    c = tiles.shape[-1]
+    img = tiles.reshape(nty, ntx, tile_size, tile_size, c)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(nty * tile_size,
+                                               ntx * tile_size, c)
+    img = img[:height, :width]
+    return img[..., 0] if squeeze else img
+
+
+def rasterize_tiles_chunked(
+    xys: jax.Array,        # (N, 2)
+    conics: jax.Array,     # (N, 3)
+    colors: jax.Array,     # (N, C)
+    opacities: jax.Array,  # (N,)
+    bins: TileBins,
+    width: int,
+    height: int,
+    tile_size: int,
+    background: jax.Array,     # (C,)
+    max_per_tile: int,
+    chunk: int = 32,
+):
+    """Tile-parallel chunked compositing. Returns (img (H,W,C), alpha (H,W)).
+
+    Same contract as ops.composite_jnp.rasterize_tiles_jnp (splats beyond
+    max_per_tile per tile are dropped), but the inner loop is over
+    max_per_tile/chunk steps of MXU-shaped work instead of max_per_tile
+    steps of scalar-ish FMA.
+    """
+    ntx, nty = bins.num_tiles_x, bins.num_tiles_y
+    tile_ids = jnp.arange(ntx * nty, dtype=jnp.int32)
+    accum, alpha_t = composite_tiles(xys, conics, colors, opacities, bins,
+                                     tile_ids, tile_size, max_per_tile, chunk)
+    img_tiles = accum + (1.0 - alpha_t)[..., None] * background[None, None, :]
+    img = tiles_to_image(img_tiles, ntx, nty, tile_size, width, height)
+    alpha = tiles_to_image(alpha_t, ntx, nty, tile_size, width, height)
+    return img, alpha
