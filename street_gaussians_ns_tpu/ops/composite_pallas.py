@@ -1,39 +1,44 @@
 """Pallas TPU kernels: fused tile-sorted alpha compositing, fwd + bwd.
 
 The production rasterizer core — the TPU replacement for gsplat's CUDA
-`rasterize_gaussians` forward/backward (SURVEY.md C-N1). Everything heavy
-about 3DGS compositing is here:
+`rasterize_gaussians` forward/backward (SURVEY.md C-N1).
 
-Forward (per 16x16 tile, grid over tiles):
-  * the tile's depth-sorted (gaussian, tile) pair slice lives in HBM as a
-    pre-gathered (num_pairs, 16) feature table [x, y, conic_a, conic_b,
-    conic_c, opacity, color_0..C-1, pad]; chunks of K pairs are DMA'd into
-    a double-buffered VMEM scratch so the next chunk's fetch overlaps the
-    current chunk's math,
-  * alphas for the whole chunk are computed as one (K, 256) VPU block; the
-    sequential front-to-back transmittance recurrence is vectorized as a
-    cumulative product along K (alphas are clamped at 0.999 so 1-alpha is
-    well-conditioned); gsplat's skip (sigma<0, alpha<1/255) and
-    early-termination (next_T <= 1e-4 kills the splat AND everything
-    behind it) semantics are reproduced exactly with masks — see
-    ops.composite_chunked.composite_chunk, the jnp template this mirrors,
-  * per-chunk color accumulation is a (256, K) x (K, C) MXU contraction,
-  * a chunk loop `while` exits early once every pixel in the tile is
-    saturated (the CUDA kernel's per-pixel `done` break, amortized to
-    tile granularity),
-  * outputs: premultiplied color accum (T, 256, C), final transmittance
-    (T, 256), and n_contrib (T, 256) — the within-tile index after the
-    last contributing pair, the residual that lets the backward replay
-    terminate identically.
+Memory layout (the part that makes it a TPU kernel rather than a CUDA
+translation): the depth-sorted (gaussian, tile) pair list is re-packed so
+every tile's range is 128-aligned (ops.tiles.align_bins), and splat
+features live in HBM as (rows, 16, 128) — row r carries 128 consecutive
+pairs x 16 features [x, y, conic_a, conic_b, conic_c, opacity,
+color_0..C-1, pad]. One chunk = one row = one aligned DMA; invalid pad
+pairs carry opacity 0 and fall out via the alpha threshold.
 
-Backward (same tiling): replays the forward chunk loop (recomputing alphas
-— cheaper than storing (pairs, pixels) intermediates, same trade gsplat
-makes), maintaining the running prefix accumulation so the suffix
-S_k = accum_total - prefix_k gives dL/dalpha without the back-to-front
-1/(1-alpha) product chain (which can overflow f32 before it telescopes).
-Emits per-PAIR gradients [gx, gy, ga, gb, gc, g_op, g_color...]; the
-custom_vjp wrapper segment-sums them per gaussian. Screen-space xy
-gradients are exactly what densification consumes (sgn_splatfacto.py:523).
+Compute layout: pixels on sublanes, splats on lanes — a 16x16 tile is a
+(256, 128) f32 block per chunk, so the outer differences px - x_k, the
+alpha evaluation, and the masked termination logic are single VPU ops; the
+sequential front-to-back transmittance recurrence is a cumulative product
+along the lane axis built from log-step `pltpu.roll`s (Pallas TPU has no
+cumprod lowering); color accumulation is a (256,128)x(128,C) MXU
+contraction. A `while` chunk loop with double-buffered DMA exits early
+once every pixel saturates (the CUDA kernel's per-pixel `done` break,
+amortized to tile granularity).
+
+Forward residuals: premultiplied accum (T,256,C), final transmittance
+(T,256), and n_contrib (T,256) — the aligned within-tile index after the
+last contributing pair, which lets the backward replay terminate
+identically.
+
+Backward: replays the forward chunk loop (recomputing alphas — cheaper
+than storing (pairs, pixels) intermediates, the same trade gsplat makes),
+carrying the running scalar prefix u = g.(c a T) per pixel so the suffix
+term of dL/dalpha needs only 2D lane-cumsums — no back-to-front
+1/(1-alpha) product chain (which overflows f32 before telescoping). Emits
+per-PAIR gradients in the same (rows, 16, 128) layout; the custom_vjp
+wrapper segment-sums them per gaussian. Screen-space xy gradients are
+exactly what densification consumes (sgn_splatfacto.py:523).
+
+Semantics (skip if sigma<0 or alpha<1/255; terminate BEFORE accumulating
+when next_T <= 1e-4; termination latches) match ops.rasterize_ref /
+ops.composite_chunked bit-for-bit — tested against both in
+tests/test_pallas_composite.py, in interpret mode and compiled.
 """
 from __future__ import annotations
 
@@ -46,17 +51,42 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .rasterize_ref import ALPHA_CLAMP, ALPHA_THRESH, T_EPS
-from .tiles import TileBins
+from .tiles import TileBins, align_bins
 
 TILE = 16
 PIX = TILE * TILE          # 256 pixels per tile
-K = 64                     # pairs per chunk
-NFEAT = 16                 # feature row width (padded for lane alignment)
+K = 128                    # pairs per chunk = one aligned feature row
+NFEAT = 16                 # feature rows per chunk block
+
+
+def _cumprod_lanes(x):
+    """Inclusive cumulative product along the lane axis (axis 1) via
+    log-step roll/multiply (no cumprod lowering on TPU Pallas)."""
+    k = x.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    s = 1
+    while s < k:
+        x = x * jnp.where(cols >= s, pltpu.roll(x, s, axis=1),
+                          jnp.ones_like(x))
+        s *= 2
+    return x
+
+
+def _cumsum_lanes(x):
+    """Inclusive cumulative sum along the lane axis (axis 1)."""
+    k = x.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    s = 1
+    while s < k:
+        x = x + jnp.where(cols >= s, pltpu.roll(x, s, axis=1),
+                          jnp.zeros_like(x))
+        s *= 2
+    return x
 
 
 def _pixel_coords(t, ntx):
-    """Pixel-center coordinates of tile t: two (1, PIX) f32 rows."""
-    lp = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    """Pixel-center coordinates of tile t: two (PIX, 1) f32 columns."""
+    lp = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
     tx0 = (t % ntx) * TILE
     ty0 = (t // ntx) * TILE
     px = tx0.astype(jnp.float32) + (lp % TILE).astype(jnp.float32) + 0.5
@@ -64,64 +94,61 @@ def _pixel_coords(t, ntx):
     return px, py
 
 
-def _chunk_alpha(feat, px, py, valid_k):
-    """Alphas + skip masks for one chunk. feat: (K, NFEAT) VMEM block.
+def _chunk_alpha(frow, px, py):
+    """Alphas + masks for one chunk. frow: (NFEAT, K) feature block.
 
-    Returns (alpha_raw (K,PIX), skip (K,PIX), clamped eff alpha handled by
-    caller via composite math).
-    """
-    x = feat[:, 0:1]
-    y = feat[:, 1:2]
-    ca = feat[:, 2:3]
-    cb = feat[:, 3:4]
-    cc = feat[:, 4:5]
-    op = feat[:, 5:6]
-    dx = x - px                                  # (K, PIX)
+    Returns (alpha (PIX,K) raw, skip (PIX,K), (dx, dy, sigma))."""
+    x = frow[0:1, :]          # (1, K)
+    y = frow[1:2, :]
+    ca = frow[2:3, :]
+    cb = frow[3:4, :]
+    cc = frow[4:5, :]
+    op = frow[5:6, :]
+    dx = x - px               # (PIX, K)
     dy = y - py
     sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
     alpha = jnp.minimum(ALPHA_CLAMP, op * jnp.exp(-sigma))
-    skip = (sigma < 0.0) | (alpha < ALPHA_THRESH) | (~valid_k)
+    skip = (sigma < 0.0) | (alpha < ALPHA_THRESH)
     return alpha, skip, (dx, dy, sigma)
 
 
 def _composite_chunk_masks(T_in, done_in, alpha, skip):
-    """The chunked gsplat-semantics compositing masks (mirror of
-    ops.composite_chunked.composite_chunk). All (K, PIX) except T_in/done_in
-    (1, PIX). Returns (contributes, T_before, T_out, done_out)."""
+    """gsplat-semantics masks, splats along lanes. T_in/done_in (PIX, 1).
+
+    Returns (contributes, a_c, T_before, T_out, done_out); mirror of
+    ops.composite_chunked.composite_chunk."""
     active = (~skip) & (~jnp.broadcast_to(done_in, skip.shape))
     a_eff = jnp.where(active, alpha, 0.0)
-    T_naive = T_in * jnp.cumprod(1.0 - a_eff, axis=0)
+    T_naive = T_in * _cumprod_lanes(1.0 - a_eff)
     term = active & (T_naive <= T_EPS)
-    done = jnp.cumsum(term.astype(jnp.int32), axis=0) > 0
+    done = _cumsum_lanes(term.astype(jnp.float32)) > 0.0
     contributes = active & (~done)
     a_c = jnp.where(contributes, alpha, 0.0)
     om = 1.0 - a_c
-    cum_incl = jnp.cumprod(om, axis=0)
+    cum_incl = _cumprod_lanes(om)
     T_before = T_in * (cum_incl / om)            # exclusive cumprod
-    T_out = T_in * cum_incl[-1:, :]
-    done_out = done_in | done[-1:, :]
+    T_out = T_in * cum_incl[:, -1:]
+    done_out = done_in | done[:, -1:]
     return contributes, a_c, T_before, T_out, done_out
 
 
-def _fwd_kernel(ntx_ref, starts_ref, counts_ref, feat_hbm,
+def _fwd_kernel(ntx_ref, rows_ref, nchunks_ref, feat_hbm,
                 accum_ref, tfin_ref, ncon_ref, buf, sem, *, nc: int):
     t = pl.program_id(0)
     ntx = ntx_ref[0]
-    start = starts_ref[t]
-    count = counts_ref[t]
+    row0 = rows_ref[t]
+    n_chunks = nchunks_ref[t]
     px, py = _pixel_coords(t, ntx)
-    n_chunks = pl.cdiv(count, K)
 
     def dma(slot, c):
-        return pltpu.make_async_copy(
-            feat_hbm.at[pl.ds(start + c * K, K), :], buf.at[slot],
-            sem.at[slot])
+        return pltpu.make_async_copy(feat_hbm.at[row0 + c], buf.at[slot],
+                                     sem.at[slot])
 
     @pl.when(n_chunks > 0)
     def _():
         dma(0, 0).start()
 
-    kidx = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
 
     def cond(carry):
         c, T, done, accum, ncon = carry
@@ -136,246 +163,200 @@ def _fwd_kernel(ntx_ref, starts_ref, counts_ref, feat_hbm,
             dma((c + 1) % 2, c + 1).start()
 
         dma(slot, c).wait()
-        feat = buf[slot]
-        valid_k = (kidx + c * K) < count
-        alpha, skip, _ = _chunk_alpha(feat, px, py, valid_k)
+        frow = buf[slot]                                      # (NFEAT, K)
+        alpha, skip, _ = _chunk_alpha(frow, px, py)
         contributes, a_c, T_before, T_out, done_out = _composite_chunk_masks(
             T, done, alpha, skip)
-        w = a_c * T_before                                    # (K, PIX)
-        colors = feat[:, 6:6 + nc]                            # (K, C)
+        w = a_c * T_before                                    # (PIX, K)
+        colors = frow[6:6 + nc, :]                            # (C, K)
         accum = accum + jax.lax.dot_general(
-            w, colors, dimension_numbers=(((0,), (0,)), ((), ())),
+            w, colors, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)               # (PIX, C)
-        pair_no = (kidx + c * K + 1).astype(jnp.float32)
+        pair_no = (kcol + c * K + 1).astype(jnp.float32)
         ncon = jnp.maximum(
-            ncon,
-            jnp.max(jnp.where(contributes, pair_no, 0.0), axis=0,
-                    keepdims=True))
+            ncon, jnp.max(jnp.where(contributes, pair_no, 0.0), axis=1,
+                          keepdims=True))
         return c + 1, T_out, done_out, accum, ncon
 
-    T0 = jnp.ones((1, PIX), jnp.float32)
-    done0 = jnp.zeros((1, PIX), jnp.bool_)
+    T0 = jnp.ones((PIX, 1), jnp.float32)
+    done0 = jnp.zeros((PIX, 1), jnp.bool_)
     accum0 = jnp.zeros((PIX, nc), jnp.float32)
-    ncon0 = jnp.zeros((1, PIX), jnp.float32)
+    ncon0 = jnp.zeros((PIX, 1), jnp.float32)
     _, T, _, accum, ncon = jax.lax.while_loop(
         cond, body, (jnp.int32(0), T0, done0, accum0, ncon0))
 
-    accum_ref[0, :, :] = accum
-    tfin_ref[0, :, :] = T
-    ncon_ref[0, :, :] = ncon.astype(jnp.int32)
+    accum_ref[0] = accum
+    tfin_ref[0] = T[:, 0][None, :]
+    ncon_ref[0] = ncon[:, 0].astype(jnp.int32)[None, :]
 
 
-def _bwd_kernel(ntx_ref, starts_ref, counts_ref, feat_hbm,
-                g_accum_hbm, g_t_hbm, tfin_hbm, ncon_hbm, accum_hbm,
-                gpair_hbm, buf, gbuf, sem, gsem, iosem, *, nc: int):
-    """Per-tile backward: forward replay emitting per-pair grads.
-
-    g_accum: dL/d(premultiplied accum) (T, PIX, C); g_t: dL/dT_final
-    (T, PIX) (callers fold background and alpha-output grads into it).
-    """
+def _bwd_kernel(ntx_ref, rows_ref, nchunks_ref, feat_hbm,
+                g_accum_hbm, aux_hbm,
+                gpair_hbm, buf, gbuf, ga_s, aux_s, sem, gsem, iosem,
+                *, nc: int):
+    """Forward-replay backward. Per-tile inputs (DMA'd to VMEM):
+    g_accum (PIX, C) cotangent of premultiplied accum; aux (PIX, 4) packs
+    per-pixel columns [g_t (cotangent of T_final), T_final, n_contrib (as
+    f32 — exactly representable), gdotacc = sum_c g_accum*accum_total (the
+    total prefix the suffix term needs)] — one lane-aligned DMA instead of
+    four (1, PIX) rows that would each need a sublane<->lane relayout."""
     t = pl.program_id(0)
     ntx = ntx_ref[0]
-    start = starts_ref[t]
-    count = counts_ref[t]
+    row0 = rows_ref[t]
+    n_chunks = nchunks_ref[t]
     px, py = _pixel_coords(t, ntx)
-    n_chunks = pl.cdiv(count, K)
 
     def dma_in(slot, c):
-        return pltpu.make_async_copy(
-            feat_hbm.at[pl.ds(start + c * K, K), :], buf.at[slot],
-            sem.at[slot])
+        return pltpu.make_async_copy(feat_hbm.at[row0 + c], buf.at[slot],
+                                     sem.at[slot])
 
-    def run(tile_io):
-        g_accum, g_t, tfin, ncon, accum_tot = tile_io
+    # Load per-tile IO.
+    cps = [
+        pltpu.make_async_copy(g_accum_hbm.at[t], ga_s, iosem.at[0]),
+        pltpu.make_async_copy(aux_hbm.at[t], aux_s, iosem.at[1]),
+    ]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
 
-        @pl.when(n_chunks > 0)
+    g_accum = ga_s[:, :]                                      # (PIX, C)
+    gT = aux_s[:, 0:1]
+    tfin = aux_s[:, 1:2]
+    ncon = aux_s[:, 2:3]
+    gdotacc = aux_s[:, 3:4]
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma_in(0, 0).start()
+
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    ones_p = jnp.ones((PIX, 1), jnp.float32)
+
+    def wait_gout(slot, c):
+        pltpu.make_async_copy(gbuf.at[slot], gpair_hbm.at[row0 + c],
+                              gsem.at[slot]).wait()
+
+    def cond(carry):
+        c, T, done, prefix_u = carry
+        return (c < n_chunks) & jnp.logical_not(jnp.all(done))
+
+    def body(carry):
+        c, T, done, prefix_u = carry
+        slot = c % 2
+
+        @pl.when(c + 1 < n_chunks)
         def _():
-            dma_in(0, 0).start()
+            dma_in((c + 1) % 2, c + 1).start()
 
-        kidx = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
-        # dL/dT_final reaches every contributing splat through T_final =
-        # prod(1-alpha): d T_final/d alpha_k = -T_final/(1-alpha_k).
-        gT = g_t                                              # (1, PIX)
+        dma_in(slot, c).wait()
 
-        def cond(carry):
-            c, T, done, prefix = carry
-            return (c < n_chunks) & jnp.logical_not(jnp.all(done))
+        @pl.when(c >= 2)
+        def _():
+            wait_gout(slot, c - 2)
 
-        def body(carry):
-            c, T, done, prefix = carry
-            slot = c % 2
+        frow = buf[slot]
+        alpha, skip, (dx, dy, sigma) = _chunk_alpha(frow, px, py)
+        within = (kcol + c * K).astype(jnp.float32) < ncon    # (PIX, K)
+        contributes, a_c, T_before, T_out, done_out = \
+            _composite_chunk_masks(T, done, alpha, skip)
+        contributes = contributes & within
+        a_c = jnp.where(contributes, alpha, 0.0)
+        w = a_c * T_before                                    # (PIX, K)
 
-            @pl.when(c + 1 < n_chunks)
-            def _():
-                dma_in((c + 1) % 2, c + 1).start()
+        colors = frow[6:6 + nc, :]                            # (C, K)
+        # g_color[c_, k] = sum_p w[p,k] g_accum[p,c_]   -> (C, K) MXU.
+        g_color = jax.lax.dot_general(
+            g_accum, w, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-            dma_in(slot, c).wait()
-            # Make sure the previous grad write-out from this slot is done.
-            @pl.when(c >= 2)
-            def _():
-                pltpu.make_async_copy(
-                    gbuf.at[slot], gpair_hbm.at[pl.ds(start + (c - 2) * K, K), :],
-                    gsem.at[slot]).wait()
+        # u = g.(c a T) per (pixel, pair); suffix gS = gdotacc - prefix - cum_u.
+        gdotc = jax.lax.dot_general(                          # (PIX, K)
+            g_accum, colors, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        u = gdotc * w
+        gS = gdotacc - prefix_u - _cumsum_lanes(u)
+        om = 1.0 - a_c
+        dL_da = jnp.where(contributes,
+                          gdotc * T_before - gS / om - gT * tfin / om, 0.0)
+        unclamped = alpha < ALPHA_CLAMP
+        dL_da = jnp.where(unclamped, dL_da, 0.0)
+        dL_ds = -alpha * dL_da                                # (PIX, K)
+        g_op_px = jnp.where(unclamped & contributes,
+                            dL_da * jnp.exp(-sigma), 0.0)
 
-            feat = buf[slot]
-            valid_k = (kidx + c * K) < count
-            alpha, skip, (dx, dy, sigma) = _chunk_alpha(feat, px, py, valid_k)
-            # Forward's exact contribution set, via the n_contrib residual.
-            within = (kidx + c * K) < ncon                    # (K, PIX)
-            contributes, a_c, T_before, T_out, done_out = \
-                _composite_chunk_masks(T, done, alpha, skip)
-            contributes = contributes & within
-            a_c = jnp.where(contributes, alpha, 0.0)
-            w = a_c * T_before                                # (K, PIX)
+        ca = frow[2:3, :]
+        cb = frow[3:4, :]
+        cc = frow[4:5, :]
+        gx_px = dL_ds * (ca * dx + cb * dy)
+        gy_px = dL_ds * (cc * dy + cb * dx)
+        ga_px = dL_ds * 0.5 * dx * dx
+        gb_px = dL_ds * dx * dy
+        gc_px = dL_ds * 0.5 * dy * dy
 
-            colors = feat[:, 6:6 + nc]                        # (K, C)
-            # g_color[k, :] = sum_p w[k,p] g_accum[p, :]  -> (K, C) MXU.
-            g_color = jax.lax.dot_general(
-                w, g_accum, dimension_numbers=(((1,), (0,)), ((), ())),
+        def colsum(m):                                        # (PIX,K)->(1,K)
+            return jax.lax.dot_general(
+                ones_p, m, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-            # dL/dalpha_k = g . (c_k T_before_k - S_k/(1-a_k))
-            #              - gT * T_final/(1-a_k)
-            # with S_k = accum_total - prefix_incl_k (suffix sum behind k).
-            contrib_c = w[:, :, None] * colors[:, None, :]    # (K, PIX, C)
-            prefix_incl = prefix[None] + jnp.cumsum(contrib_c, axis=0)
-            S = accum_tot[None] - prefix_incl                 # (K, PIX, C)
-            g_dot_c = jax.lax.dot_general(                    # (K, PIX)
-                colors, g_accum,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            gS = jnp.sum(S * g_accum[None], axis=-1)          # (K, PIX)
-            om = 1.0 - a_c
-            dL_da = jnp.where(
-                contributes,
-                g_dot_c * T_before - gS / om - gT * tfin / om,
-                0.0)
-            # alpha = op*exp(-sigma), clamped: grads stop where clamp binds.
-            unclamped = alpha < ALPHA_CLAMP
-            dL_da = jnp.where(unclamped, dL_da, 0.0)
-            dL_dsigma = -alpha * dL_da                        # (K, PIX)
-            op = feat[:, 5:6]
-            g_op_px = jnp.where(unclamped & contributes,
-                                dL_da * jnp.exp(-sigma), 0.0)
+        gout = jnp.concatenate([
+            colsum(gx_px), colsum(gy_px), colsum(ga_px), colsum(gb_px),
+            colsum(gc_px), colsum(g_op_px), g_color,
+            jnp.zeros((NFEAT - 6 - nc, K), jnp.float32)], axis=0)
+        gbuf[slot] = gout
+        pltpu.make_async_copy(gbuf.at[slot], gpair_hbm.at[row0 + c],
+                              gsem.at[slot]).start()
 
-            ca = feat[:, 2:3]
-            cb = feat[:, 3:4]
-            cc = feat[:, 4:5]
-            # dsigma/ddx = ca*dx + cb*dy ; ddx/dx_splat = +1.
-            gx_px = dL_dsigma * (ca * dx + cb * dy)
-            gy_px = dL_dsigma * (cc * dy + cb * dx)
-            ga_px = dL_dsigma * 0.5 * dx * dx
-            gb_px = dL_dsigma * dx * dy
-            gc_px = dL_dsigma * 0.5 * dy * dy
+        prefix_u = prefix_u + jnp.sum(u, axis=1, keepdims=True)
+        return c + 1, T_out, done_out, prefix_u
 
-            ones = jnp.ones((PIX, 1), jnp.float32)
+    T0 = jnp.ones((PIX, 1), jnp.float32)
+    done0 = jnp.zeros((PIX, 1), jnp.bool_)
+    pre0 = jnp.zeros((PIX, 1), jnp.float32)
+    c_end, _, _, _ = jax.lax.while_loop(cond, body,
+                                        (jnp.int32(0), T0, done0, pre0))
 
-            def rowsum(m):                                    # (K, PIX) -> (K, 1)
-                return jax.lax.dot_general(
-                    m, ones, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+    @pl.when(c_end >= 2)
+    def _():
+        wait_gout(c_end % 2, c_end - 2)
 
-            gout = jnp.concatenate([
-                rowsum(gx_px), rowsum(gy_px), rowsum(ga_px), rowsum(gb_px),
-                rowsum(gc_px), rowsum(g_op_px), g_color,
-                jnp.zeros((K, NFEAT - 6 - nc), jnp.float32)], axis=1)
-            gbuf[slot] = gout
-            pltpu.make_async_copy(
-                gbuf.at[slot], gpair_hbm.at[pl.ds(start + c * K, K), :],
-                gsem.at[slot]).start()
+    @pl.when(c_end >= 1)
+    def _():
+        wait_gout((c_end - 1) % 2, c_end - 1)
 
-            prefix = prefix + jnp.sum(contrib_c, axis=0)      # (PIX, C)
-            return c + 1, T_out, done_out, prefix
-
-        T0 = jnp.ones((1, PIX), jnp.float32)
-        done0 = jnp.zeros((1, PIX), jnp.bool_)
-        prefix0 = jnp.zeros((PIX, nc), jnp.float32)
-        c_end, _, _, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), T0, done0, prefix0))
-
-        # Drain outstanding grad writes.
-        @pl.when(c_end >= 2)
+    # Zero grads for chunks skipped by the early exit.
+    def zero_tail(c, _):
+        @pl.when(c >= c_end)
         def _():
-            pltpu.make_async_copy(
-                gbuf.at[(c_end - 2) % 2],
-                gpair_hbm.at[pl.ds(start + (c_end - 2) * K, K), :],
-                gsem.at[(c_end - 2) % 2]).wait()
-
-        @pl.when(c_end >= 1)
-        def _():
-            pltpu.make_async_copy(
-                gbuf.at[(c_end - 1) % 2],
-                gpair_hbm.at[pl.ds(start + (c_end - 1) * K, K), :],
-                gsem.at[(c_end - 1) % 2]).wait()
-
-        # Zero grads for this tile's pairs past the early-exit point.
-        def zero_tail(c, _):
-            @pl.when(c >= c_end)
-            def _():
-                gbuf[0] = jnp.zeros((K, NFEAT), jnp.float32)
-                cp = pltpu.make_async_copy(
-                    gbuf.at[0], gpair_hbm.at[pl.ds(start + c * K, K), :],
-                    gsem.at[0])
-                cp.start()
-                cp.wait()
-            return ()
-
-        jax.lax.fori_loop(0, n_chunks, zero_tail, (), unroll=False)
-
-    def load_tile_io(scratch, iosems):
-        g_accum_s, g_t_s, tfin_s, ncon_s, accum_s = scratch
-        cps = [
-            pltpu.make_async_copy(g_accum_hbm.at[t], g_accum_s, iosems.at[0]),
-            pltpu.make_async_copy(g_t_hbm.at[t], g_t_s, iosems.at[1]),
-            pltpu.make_async_copy(tfin_hbm.at[t], tfin_s, iosems.at[2]),
-            pltpu.make_async_copy(ncon_hbm.at[t], ncon_s, iosems.at[3]),
-            pltpu.make_async_copy(accum_hbm.at[t], accum_s, iosems.at[4]),
-        ]
-        for cp in cps:
+            gbuf[0] = jnp.zeros((NFEAT, K), jnp.float32)
+            cp = pltpu.make_async_copy(gbuf.at[0], gpair_hbm.at[row0 + c],
+                                       gsem.at[0])
             cp.start()
-        for cp in cps:
             cp.wait()
-        run((g_accum_s[:, :], g_t_s[:, :], tfin_s[:, :],
-             ncon_s[:, :], accum_s[:, :]))
+        return _
 
-    pl.run_scoped(
-        lambda g_accum_s, g_t_s, tfin_s, ncon_s, accum_s, iosems: load_tile_io(
-            (g_accum_s, g_t_s, tfin_s, ncon_s, accum_s), iosems),
-        pltpu.VMEM((PIX, nc), jnp.float32),
-        pltpu.VMEM((1, PIX), jnp.float32),
-        pltpu.VMEM((1, PIX), jnp.float32),
-        pltpu.VMEM((1, PIX), jnp.int32),
-        pltpu.VMEM((PIX, nc), jnp.float32),
-        pltpu.SemaphoreType.DMA((5,)),
-    )
+    jax.lax.fori_loop(0, n_chunks, zero_tail, None)
 
 
 def _build_feat(xys, conics, colors, opacities, bins: TileBins):
-    """Gather splat attributes into sorted-pair order: (num_pairs_pad, 16).
-    XLA gather — one HBM pass, fused with the packing."""
+    """Gather splat attributes into aligned-pair order and pack as
+    (rows, NFEAT, K): row r, lane j = pair r*K+j. One XLA gather pass."""
     nc = colors.shape[-1]
     g = bins.gauss_idx
-    feat = jnp.zeros((g.shape[0] + K, NFEAT), jnp.float32)
+    n_pairs = g.shape[0]
+    assert n_pairs % K == 0
     ok = bins.pair_valid
     rows = jnp.concatenate([
-        xys[g],                                  # 0:2
-        conics[g],                               # 2:5
-        jnp.where(ok, opacities[g], 0.0)[:, None],  # 5:6 (invalid -> alpha 0)
-        colors[g].astype(jnp.float32),           # 6:6+nc
-        jnp.zeros((g.shape[0], NFEAT - 6 - nc), jnp.float32),
-    ], axis=-1)
-    return feat.at[:g.shape[0]].set(rows)
+        xys[g],                                      # 0:2
+        conics[g],                                   # 2:5
+        jnp.where(ok, opacities[g], 0.0)[:, None],   # 5:6 (invalid -> 0)
+        colors[g].astype(jnp.float32),               # 6:6+nc
+        jnp.zeros((n_pairs, NFEAT - 6 - nc), jnp.float32),
+    ], axis=-1)                                      # (P, NFEAT)
+    return rows.reshape(n_pairs // K, K, NFEAT).transpose(0, 2, 1)
 
 
-def _tile_io_shapes(num_tiles: int, nc: int):
-    return (
-        jax.ShapeDtypeStruct((num_tiles, PIX, nc), jnp.float32),
-        jax.ShapeDtypeStruct((num_tiles, 1, PIX), jnp.float32),
-        jax.ShapeDtypeStruct((num_tiles, 1, PIX), jnp.int32),
-    )
-
-
-def _fwd_call(feat, starts, counts, ntx, num_tiles: int, nc: int,
+def _fwd_call(feat, row0, nchunks, ntx, num_tiles: int, nc: int,
               interpret: bool = False):
     kernel = functools.partial(_fwd_kernel, nc=nc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -391,33 +372,39 @@ def _fwd_call(feat, starts, counts, ntx, num_tiles: int, nc: int,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, K, NFEAT), jnp.float32),
+            pltpu.VMEM((2, NFEAT, K), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     accum, tfin, ncon = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=_tile_io_shapes(num_tiles, nc),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_tiles, PIX, nc), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 1, PIX), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 1, PIX), jnp.int32),
+        ),
         interpret=interpret,
-    )(jnp.asarray([ntx], jnp.int32), starts, counts, feat)
+    )(jnp.asarray([ntx], jnp.int32), row0, nchunks, feat)
     return accum, tfin[:, 0, :], ncon[:, 0, :]
 
 
-def _bwd_call(feat, starts, counts, ntx, num_tiles: int, nc: int,
-              g_accum, g_t, tfin, ncon, accum, interpret: bool = False):
+def _bwd_call(feat, row0, nchunks, ntx, num_tiles: int, nc: int,
+              g_accum, aux, interpret: bool = False):
     kernel = functools.partial(_bwd_kernel, nc=nc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, K, NFEAT), jnp.float32),
-            pltpu.VMEM((2, K, NFEAT), jnp.float32),
+            pltpu.VMEM((2, NFEAT, K), jnp.float32),
+            pltpu.VMEM((2, NFEAT, K), jnp.float32),
+            pltpu.VMEM((PIX, nc), jnp.float32),
+            pltpu.VMEM((PIX, 4), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     gpair = pl.pallas_call(
@@ -426,9 +413,7 @@ def _bwd_call(feat, starts, counts, ntx, num_tiles: int, nc: int,
         out_shape=jax.ShapeDtypeStruct(feat.shape, jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(jnp.asarray([ntx], jnp.int32), starts, counts, feat,
-      g_accum, g_t.reshape(num_tiles, 1, PIX), tfin.reshape(num_tiles, 1, PIX),
-      ncon.reshape(num_tiles, 1, PIX), accum)
+    )(jnp.asarray([ntx], jnp.int32), row0, nchunks, feat, g_accum, aux)
     return gpair
 
 
@@ -461,25 +446,26 @@ def _rasterize_pallas_fwd(xys, conics, colors, opacities, bins,
     ntx, nty = bins.num_tiles_x, bins.num_tiles_y
     num_tiles = ntx * nty
     nc = colors.shape[-1]
-    feat = _build_feat(xys, conics, colors, opacities, bins)
-    accum, tfin, ncon = _fwd_call(feat, bins.tile_start, bins.tile_count,
-                                  ntx, num_tiles, nc, interpret)
+    abins = align_bins(bins, K)
+    feat = _build_feat(xys, conics, colors, opacities, abins)
+    row0 = abins.tile_start // K
+    nchunks = abins.tile_count // K
+    accum, tfin, ncon = _fwd_call(feat, row0, nchunks, ntx, num_tiles, nc,
+                                  interpret)
     img = _tiles_to_image(accum, ntx, nty, width, height)
     alpha = 1.0 - _tiles_to_image(tfin, ntx, nty, width, height)
-    residuals = (xys, conics, colors, opacities, bins, feat, accum, tfin,
-                 ncon)
+    residuals = (abins, feat, row0, nchunks, accum, tfin, ncon)
     return (img, alpha), residuals
 
 
 def _rasterize_pallas_bwd(width, height, num_gaussians, interpret,
                           residuals, cotangents):
-    xys, conics, colors, opacities, bins, feat, accum, tfin, ncon = residuals
+    (abins, feat, row0, nchunks, accum, tfin, ncon) = residuals
     g_img, g_alpha = cotangents
-    ntx, nty = bins.num_tiles_x, bins.num_tiles_y
+    ntx, nty = abins.num_tiles_x, abins.num_tiles_y
     num_tiles = ntx * nty
-    nc = colors.shape[-1]
+    nc = accum.shape[-1]
 
-    # Image-space cotangents -> padded tile layout.
     def to_tiles(img, c):
         pad_h = nty * TILE - height
         pad_w = ntx * TILE - width
@@ -491,18 +477,22 @@ def _rasterize_pallas_bwd(width, height, num_gaussians, interpret,
     g_accum = to_tiles(g_img, nc)
     # alpha_out = 1 - T_final  =>  dL/dT_final = -g_alpha.
     g_t = -to_tiles(g_alpha, 1)[..., 0]
+    gdotacc = jnp.sum(g_accum * accum, axis=-1)
+    aux = jnp.stack([g_t, tfin, ncon.astype(jnp.float32), gdotacc],
+                    axis=-1)                                # (T, PIX, 4)
 
-    gpair = _bwd_call(feat, bins.tile_start, bins.tile_count, ntx, num_tiles,
-                      nc, g_accum, g_t, tfin, ncon, accum, interpret)
-    gpair = gpair[:bins.gauss_idx.shape[0]]
-    gpair = jnp.where(bins.pair_valid[:, None], gpair, 0.0)
+    gpair = _bwd_call(feat, row0, nchunks, ntx, num_tiles, nc, g_accum, aux,
+                      interpret)
+    # (rows, NFEAT, K) -> (P, NFEAT)
+    gpair = gpair.transpose(0, 2, 1).reshape(-1, NFEAT)
+    gpair = jnp.where(abins.pair_valid[:, None], gpair, 0.0)
 
-    seg = jax.ops.segment_sum(gpair, bins.gauss_idx,
+    seg = jax.ops.segment_sum(gpair, abins.gauss_idx,
                               num_segments=num_gaussians)
     g_xys = seg[:, 0:2]
     g_conics = seg[:, 2:5]
     g_opac = seg[:, 5]
-    g_colors = seg[:, 6:6 + nc].astype(colors.dtype)
+    g_colors = seg[:, 6:6 + nc]
     return g_xys, g_conics, g_colors, g_opac, None
 
 

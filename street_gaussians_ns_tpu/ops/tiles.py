@@ -90,3 +90,44 @@ def bin_gaussians(
         num_tiles_x=ntx,
         num_tiles_y=nty,
     )
+
+
+def align_bins(bins: TileBins, align: int) -> TileBins:
+    """Re-pack the sorted pair list so every tile's range starts at a
+    multiple of `align` and spans a multiple of `align` slots (pad slots are
+    invalid pairs). The Pallas kernel DMAs `align`-pair rows from HBM, and
+    Mosaic requires lane-tiling-aligned slices — this one gather pass buys
+    fully aligned, arbitrary-length per-tile streams.
+
+    Output capacity is bins.gauss_idx.shape[0] + num_tiles*align (static).
+    """
+    num_tiles = bins.tile_start.shape[0]
+    max_pairs = bins.gauss_idx.shape[0]
+    cap = max_pairs + num_tiles * align
+
+    counts = bins.tile_count
+    padded = ((counts + align - 1) // align) * align          # (T,)
+    new_start = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                 jnp.cumsum(padded)[:-1].astype(jnp.int32)])
+
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    # Owner tile of each aligned slot.
+    ends = new_start + padded
+    t = jnp.searchsorted(ends, slot, side="right").astype(jnp.int32)
+    t = jnp.minimum(t, num_tiles - 1)
+    local = slot - new_start[t]
+    in_tile = (slot < ends[t]) & (local < counts[t])
+    src = jnp.clip(bins.tile_start[t] + local, 0, max_pairs - 1)
+
+    gauss = jnp.where(in_tile, bins.gauss_idx[src], 0)
+    valid = in_tile & bins.pair_valid[src]
+
+    return TileBins(
+        gauss_idx=gauss,
+        pair_valid=valid,
+        tile_start=new_start,
+        tile_count=padded,          # aligned span; invalid slots padded
+        num_pairs=bins.num_pairs,
+        num_tiles_x=bins.num_tiles_x,
+        num_tiles_y=bins.num_tiles_y,
+    )
