@@ -133,7 +133,11 @@ def _composite_chunk_masks(T_in, done_in, alpha, skip):
 
 
 def _fwd_kernel(ntx_ref, rows_ref, nchunks_ref, feat_hbm,
-                accum_ref, tfin_ref, ncon_ref, buf, sem, *, nc: int):
+                accum_ref, tfin_ref, ncon_ref, buf, state, sem, *, nc: int):
+    """state: VMEM (PIX, 8) scratch — columns [T, done, ncon, pad...].
+    Loop state lives in scratch refs (the while carry holds only scalars):
+    Mosaic cannot unify the vreg layouts of narrow (PIX, 1) vectors carried
+    through scf.while, but ref load/store round-trips are layout-free."""
     t = pl.program_id(0)
     ntx = ntx_ref[0]
     row0 = rows_ref[t]
@@ -150,12 +154,17 @@ def _fwd_kernel(ntx_ref, rows_ref, nchunks_ref, feat_hbm,
 
     kcol = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
 
+    accum_ref[0] = jnp.zeros((nc, PIX), jnp.float32)
+    state[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)    # T
+    state[:, 1:2] = jnp.zeros((PIX, 1), jnp.float32)   # done
+    state[:, 2:3] = jnp.zeros((PIX, 1), jnp.float32)   # n_contrib
+
     def cond(carry):
-        c, T, done, accum, ncon = carry
-        return (c < n_chunks) & jnp.logical_not(jnp.all(done))
+        c, all_done = carry
+        return (c < n_chunks) & jnp.logical_not(all_done)
 
     def body(carry):
-        c, T, done, accum, ncon = carry
+        c, _ = carry
         slot = c % 2
 
         @pl.when(c + 1 < n_chunks)
@@ -163,43 +172,46 @@ def _fwd_kernel(ntx_ref, rows_ref, nchunks_ref, feat_hbm,
             dma((c + 1) % 2, c + 1).start()
 
         dma(slot, c).wait()
+        T = state[:, 0:1]
+        done = state[:, 1:2] > 0.5
         frow = buf[slot]                                      # (NFEAT, K)
         alpha, skip, _ = _chunk_alpha(frow, px, py)
         contributes, a_c, T_before, T_out, done_out = _composite_chunk_masks(
             T, done, alpha, skip)
         w = a_c * T_before                                    # (PIX, K)
         colors = frow[6:6 + nc, :]                            # (C, K)
-        accum = accum + jax.lax.dot_general(
-            w, colors, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (PIX, C)
+        # Channel-row accumulation (C, PIX): HBM-crossing arrays keep PIX
+        # (= 2 full lanes) as the minor dim, which Mosaic's DMA requires.
+        accum_ref[0] += jax.lax.dot_general(
+            colors, w, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (C, PIX)
         pair_no = (kcol + c * K + 1).astype(jnp.float32)
         ncon = jnp.maximum(
-            ncon, jnp.max(jnp.where(contributes, pair_no, 0.0), axis=1,
-                          keepdims=True))
-        return c + 1, T_out, done_out, accum, ncon
+            state[:, 2:3],
+            jnp.max(jnp.where(contributes, pair_no, 0.0), axis=1,
+                    keepdims=True))
+        state[:, 0:1] = T_out
+        state[:, 1:2] = done_out.astype(jnp.float32)
+        state[:, 2:3] = ncon
+        return c + 1, jnp.all(done_out)
 
-    T0 = jnp.ones((PIX, 1), jnp.float32)
-    done0 = jnp.zeros((PIX, 1), jnp.bool_)
-    accum0 = jnp.zeros((PIX, nc), jnp.float32)
-    ncon0 = jnp.zeros((PIX, 1), jnp.float32)
-    _, T, _, accum, ncon = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), T0, done0, accum0, ncon0))
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
 
-    accum_ref[0] = accum
-    tfin_ref[0] = T[:, 0][None, :]
-    ncon_ref[0] = ncon[:, 0].astype(jnp.int32)[None, :]
+    # (PIX, 1) -> (1, PIX): once per tile, outside the chunk loop.
+    tfin_ref[0] = state[:, 0:1].T
+    ncon_ref[0] = state[:, 2:3].T.astype(jnp.int32)
 
 
 def _bwd_kernel(ntx_ref, rows_ref, nchunks_ref, feat_hbm,
                 g_accum_hbm, aux_hbm,
-                gpair_hbm, buf, gbuf, ga_s, aux_s, sem, gsem, iosem,
+                gpair_hbm, buf, gbuf, ga_s, aux_s, state, sem, gsem, iosem,
                 *, nc: int):
-    """Forward-replay backward. Per-tile inputs (DMA'd to VMEM):
-    g_accum (PIX, C) cotangent of premultiplied accum; aux (PIX, 4) packs
-    per-pixel columns [g_t (cotangent of T_final), T_final, n_contrib (as
-    f32 — exactly representable), gdotacc = sum_c g_accum*accum_total (the
-    total prefix the suffix term needs)] — one lane-aligned DMA instead of
-    four (1, PIX) rows that would each need a sublane<->lane relayout."""
+    """Forward-replay backward. Per-tile inputs (DMA'd to VMEM), both in
+    channel-row form so PIX stays the lane-aligned minor dim:
+    g_accum (C, PIX) cotangent of premultiplied accum; aux (4, PIX) packs
+    rows [g_t (cotangent of T_final), T_final, n_contrib (as f32 —
+    exactly representable), gdotacc = sum_c g_accum*accum_total (the total
+    prefix the suffix term needs)]."""
     t = pl.program_id(0)
     ntx = ntx_ref[0]
     row0 = rows_ref[t]
@@ -220,11 +232,12 @@ def _bwd_kernel(ntx_ref, rows_ref, nchunks_ref, feat_hbm,
     for cp in cps:
         cp.wait()
 
-    g_accum = ga_s[:, :]                                      # (PIX, C)
-    gT = aux_s[:, 0:1]
-    tfin = aux_s[:, 1:2]
-    ncon = aux_s[:, 2:3]
-    gdotacc = aux_s[:, 3:4]
+    g_accum_r = ga_s[:, :]                                    # (C, PIX)
+    aux = aux_s[:, :].T                                       # (PIX, 4)
+    gT = aux[:, 0:1]
+    tfin = aux[:, 1:2]
+    ncon = aux[:, 2:3]
+    gdotacc = aux[:, 3:4]
 
     @pl.when(n_chunks > 0)
     def _():
@@ -233,16 +246,21 @@ def _bwd_kernel(ntx_ref, rows_ref, nchunks_ref, feat_hbm,
     kcol = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     ones_p = jnp.ones((PIX, 1), jnp.float32)
 
+    # Loop state in scratch (see _fwd_kernel): [T, done, prefix_u].
+    state[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
+    state[:, 1:2] = jnp.zeros((PIX, 1), jnp.float32)
+    state[:, 2:3] = jnp.zeros((PIX, 1), jnp.float32)
+
     def wait_gout(slot, c):
         pltpu.make_async_copy(gbuf.at[slot], gpair_hbm.at[row0 + c],
                               gsem.at[slot]).wait()
 
     def cond(carry):
-        c, T, done, prefix_u = carry
-        return (c < n_chunks) & jnp.logical_not(jnp.all(done))
+        c, all_done = carry
+        return (c < n_chunks) & jnp.logical_not(all_done)
 
     def body(carry):
-        c, T, done, prefix_u = carry
+        c, _ = carry
         slot = c % 2
 
         @pl.when(c + 1 < n_chunks)
@@ -255,6 +273,9 @@ def _bwd_kernel(ntx_ref, rows_ref, nchunks_ref, feat_hbm,
         def _():
             wait_gout(slot, c - 2)
 
+        T = state[:, 0:1]
+        done = state[:, 1:2] > 0.5
+        prefix_u = state[:, 2:3]
         frow = buf[slot]
         alpha, skip, (dx, dy, sigma) = _chunk_alpha(frow, px, py)
         within = (kcol + c * K).astype(jnp.float32) < ncon    # (PIX, K)
@@ -267,12 +288,12 @@ def _bwd_kernel(ntx_ref, rows_ref, nchunks_ref, feat_hbm,
         colors = frow[6:6 + nc, :]                            # (C, K)
         # g_color[c_, k] = sum_p w[p,k] g_accum[p,c_]   -> (C, K) MXU.
         g_color = jax.lax.dot_general(
-            g_accum, w, dimension_numbers=(((0,), (0,)), ((), ())),
+            g_accum_r, w, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
         # u = g.(c a T) per (pixel, pair); suffix gS = gdotacc - prefix - cum_u.
         gdotc = jax.lax.dot_general(                          # (PIX, K)
-            g_accum, colors, dimension_numbers=(((1,), (0,)), ((), ())),
+            g_accum_r, colors, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         u = gdotc * w
         gS = gdotacc - prefix_u - _cumsum_lanes(u)
@@ -307,14 +328,13 @@ def _bwd_kernel(ntx_ref, rows_ref, nchunks_ref, feat_hbm,
         pltpu.make_async_copy(gbuf.at[slot], gpair_hbm.at[row0 + c],
                               gsem.at[slot]).start()
 
-        prefix_u = prefix_u + jnp.sum(u, axis=1, keepdims=True)
-        return c + 1, T_out, done_out, prefix_u
+        state[:, 0:1] = T_out
+        state[:, 1:2] = done_out.astype(jnp.float32)
+        state[:, 2:3] = prefix_u + jnp.sum(u, axis=1, keepdims=True)
+        return c + 1, jnp.all(done_out)
 
-    T0 = jnp.ones((PIX, 1), jnp.float32)
-    done0 = jnp.zeros((PIX, 1), jnp.bool_)
-    pre0 = jnp.zeros((PIX, 1), jnp.float32)
-    c_end, _, _, _ = jax.lax.while_loop(cond, body,
-                                        (jnp.int32(0), T0, done0, pre0))
+    c_end, _ = jax.lax.while_loop(cond, body,
+                                  (jnp.int32(0), jnp.bool_(False)))
 
     @pl.when(c_end >= 2)
     def _():
@@ -362,9 +382,9 @@ def _fwd_call(feat, row0, nchunks, ntx, num_tiles: int, nc: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+    in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
-            pl.BlockSpec((1, PIX, nc), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, nc, PIX), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, PIX), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -373,6 +393,7 @@ def _fwd_call(feat, row0, nchunks, ntx, num_tiles: int, nc: int,
         ),
         scratch_shapes=[
             pltpu.VMEM((2, NFEAT, K), jnp.float32),
+            pltpu.VMEM((PIX, 8), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -380,13 +401,14 @@ def _fwd_call(feat, row0, nchunks, ntx, num_tiles: int, nc: int,
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((num_tiles, PIX, nc), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, nc, PIX), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles, 1, PIX), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles, 1, PIX), jnp.int32),
         ),
         interpret=interpret,
     )(jnp.asarray([ntx], jnp.int32), row0, nchunks, feat)
-    return accum, tfin[:, 0, :], ncon[:, 0, :]
+    # (T, C, PIX) -> (T, PIX, C) outside the kernel (free in XLA).
+    return accum.transpose(0, 2, 1), tfin[:, 0, :], ncon[:, 0, :]
 
 
 def _bwd_call(feat, row0, nchunks, ntx, num_tiles: int, nc: int,
@@ -400,8 +422,9 @@ def _bwd_call(feat, row0, nchunks, ntx, num_tiles: int, nc: int,
         scratch_shapes=[
             pltpu.VMEM((2, NFEAT, K), jnp.float32),
             pltpu.VMEM((2, NFEAT, K), jnp.float32),
-            pltpu.VMEM((PIX, nc), jnp.float32),
-            pltpu.VMEM((PIX, 4), jnp.float32),
+            pltpu.VMEM((nc, PIX), jnp.float32),
+            pltpu.VMEM((4, PIX), jnp.float32),
+            pltpu.VMEM((PIX, 8), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -479,10 +502,10 @@ def _rasterize_pallas_bwd(width, height, num_gaussians, interpret,
     g_t = -to_tiles(g_alpha, 1)[..., 0]
     gdotacc = jnp.sum(g_accum * accum, axis=-1)
     aux = jnp.stack([g_t, tfin, ncon.astype(jnp.float32), gdotacc],
-                    axis=-1)                                # (T, PIX, 4)
+                    axis=1)                                 # (T, 4, PIX)
 
-    gpair = _bwd_call(feat, row0, nchunks, ntx, num_tiles, nc, g_accum, aux,
-                      interpret)
+    gpair = _bwd_call(feat, row0, nchunks, ntx, num_tiles, nc,
+                      g_accum.transpose(0, 2, 1), aux, interpret)
     # (rows, NFEAT, K) -> (P, NFEAT)
     gpair = gpair.transpose(0, 2, 1).reshape(-1, NFEAT)
     gpair = jnp.where(abins.pair_valid[:, None], gpair, 0.0)
