@@ -51,7 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .rasterize_ref import ALPHA_CLAMP, ALPHA_THRESH, T_EPS
-from .tiles import TileBins, align_bins
+from .tiles import TileBins, _owner_by_scatter, align_bins
 
 TILE = 16
 PIX = TILE * TILE          # 256 pixels per tile
@@ -195,7 +195,14 @@ def _fwd_kernel(ntx_ref, rows_ref, nchunks_ref, feat_hbm,
         state[:, 2:3] = ncon
         return c + 1, jnp.all(done_out)
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
+    c_end, _ = jax.lax.while_loop(cond, body,
+                                  (jnp.int32(0), jnp.bool_(False)))
+
+    # Early exit leaves the prefetched next chunk's DMA in flight; drain it
+    # or its completion signal corrupts the next tile's semaphore protocol.
+    @pl.when(c_end < n_chunks)
+    def _():
+        dma(c_end % 2, c_end).wait()
 
     # (PIX, 1) -> (1, PIX): once per tile, outside the chunk loop.
     tfin_ref[0] = state[:, 0:1].T
@@ -336,6 +343,11 @@ def _bwd_kernel(ntx_ref, rows_ref, nchunks_ref, feat_hbm,
     c_end, _ = jax.lax.while_loop(cond, body,
                                   (jnp.int32(0), jnp.bool_(False)))
 
+    # Drain the in-flight prefetch on early exit (see _fwd_kernel).
+    @pl.when(c_end < n_chunks)
+    def _():
+        dma_in(c_end % 2, c_end).wait()
+
     @pl.when(c_end >= 2)
     def _():
         wait_gout(c_end % 2, c_end - 2)
@@ -343,19 +355,9 @@ def _bwd_kernel(ntx_ref, rows_ref, nchunks_ref, feat_hbm,
     @pl.when(c_end >= 1)
     def _():
         wait_gout((c_end - 1) % 2, c_end - 1)
-
-    # Zero grads for chunks skipped by the early exit.
-    def zero_tail(c, _):
-        @pl.when(c >= c_end)
-        def _():
-            gbuf[0] = jnp.zeros((NFEAT, K), jnp.float32)
-            cp = pltpu.make_async_copy(gbuf.at[0], gpair_hbm.at[row0 + c],
-                                       gsem.at[0])
-            cp.start()
-            cp.wait()
-        return _
-
-    jax.lax.fori_loop(0, n_chunks, zero_tail, None)
+    # Chunks beyond c_end are never visited: the wrapper passes chunk
+    # counts derived from n_contrib (no pair past it contributes) and
+    # zeroes the unwritten rows with one vectorized mask outside.
 
 
 def _build_feat(xys, conics, colors, opacities, bins: TileBins):
@@ -504,11 +506,23 @@ def _rasterize_pallas_bwd(width, height, num_gaussians, interpret,
     aux = jnp.stack([g_t, tfin, ncon.astype(jnp.float32), gdotacc],
                     axis=1)                                 # (T, 4, PIX)
 
-    gpair = _bwd_call(feat, row0, nchunks, ntx, num_tiles, nc,
+    # The backward only needs chunks up to the last contributing pair
+    # (everything behind it has zero gradient); n_contrib bounds that.
+    nchunks_bwd = jnp.minimum(
+        nchunks, (jnp.max(ncon, axis=1) + K - 1) // K).astype(jnp.int32)
+
+    gpair = _bwd_call(feat, row0, nchunks_bwd, ntx, num_tiles, nc,
                       g_accum.transpose(0, 2, 1), aux, interpret)
-    # (rows, NFEAT, K) -> (P, NFEAT)
+    # (rows, NFEAT, K) -> (P, NFEAT); zero unwritten/pad rows.
     gpair = gpair.transpose(0, 2, 1).reshape(-1, NFEAT)
-    gpair = jnp.where(abins.pair_valid[:, None], gpair, 0.0)
+    cap = abins.gauss_idx.shape[0]
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    t_of = _owner_by_scatter(
+        jnp.where(abins.tile_count > 0, abins.tile_start, cap), cap,
+        num_tiles)
+    t_of = jnp.clip(t_of, 0, num_tiles - 1)
+    written = (slot - abins.tile_start[t_of]) < nchunks_bwd[t_of] * K
+    gpair = jnp.where((abins.pair_valid & written)[:, None], gpair, 0.0)
 
     seg = jax.ops.segment_sum(gpair, abins.gauss_idx,
                               num_segments=num_gaussians)

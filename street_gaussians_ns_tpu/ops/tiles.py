@@ -2,19 +2,24 @@
 
 TPU-native replacement for gsplat's CUDA tile-intersection + GPU radix sort
 over packed (tileID, depth) keys (SURVEY.md C-N1). Everything here is
-fixed-shape and jit-safe:
+fixed-shape and jit-safe, and engineered around what is fast on TPU:
 
-  * pair expansion uses a searchsorted over the exclusive-cumsum of per-
-    gaussian tile counts — a fully vectorized "ragged repeat" with a static
-    `max_pairs` capacity (overflow pairs are dropped; the true total is
-    returned so callers can log / grow capacity outside jit),
-  * the (tile, depth) ordering uses `lax.sort` with two lexicographic keys
-    (XLA's sort lowers to an efficient on-chip bitonic/merge network),
-  * per-tile [start, end) ranges come from a searchsorted over the sorted
-    tile ids.
+  * gaussians are depth-sorted FIRST (an (N,)-sized sort, much smaller
+    than the pair list), so pair expansion enumerates pairs already in
+    depth order within each gaussian run;
+  * the "ragged repeat" (slot -> owning gaussian) uses the scatter+cumsum
+    trick instead of a searchsorted — a log(N)-round gather loop over
+    millions of slots is the slowest thing XLA:TPU can do, while a scatter
+    and a prefix sum are single passes;
+  * the pair sort then needs only ONE int32 key (tile id) with a stable
+    sort — stability preserves the within-tile depth order established by
+    the expansion (exactly gsplat's (tile, depth) radix order);
+  * per-tile [start, end) ranges come from a small (T,)-query searchsorted;
+  * align_bins re-packs ranges to 128-slot alignment for the Pallas DMA
+    with a direct position scatter (no per-slot search).
 
-The sort is stable, so equal-depth splats keep their pre-sort order — the
-same tie-break the oracle uses.
+The resulting order matches the oracle's global stable depth sort per tile
+bit-for-bit (ties broken by pre-sort index).
 """
 from __future__ import annotations
 
@@ -40,6 +45,16 @@ class TileBins:
     num_tiles_y: int = dataclasses.field(metadata=dict(static=True))
 
 
+def _owner_by_scatter(starts: jax.Array, capacity: int, n: int) -> jax.Array:
+    """slot -> index of the owning run: for runs with exclusive-cumsum
+    `starts`, owner[s] = (# runs with start <= s) - 1. Zero-length runs
+    share a start with their successor and are correctly skipped (the
+    later scatter-add wins in the cumsum)."""
+    seg = jnp.zeros((capacity,), jnp.int32)
+    seg = seg.at[jnp.clip(starts, 0, capacity - 1)].add(1, mode="drop")
+    return jnp.cumsum(seg) - 1
+
+
 def bin_gaussians(
     proj: Projected,
     width: int,
@@ -51,35 +66,43 @@ def bin_gaussians(
     nty = (height + tile_size - 1) // tile_size
     num_tiles = ntx * nty
 
-    counts = proj.num_tiles_hit.astype(jnp.int32)          # (N,)
-    cum = jnp.cumsum(counts)                               # inclusive
-    total = cum[-1] if counts.shape[0] > 0 else jnp.int32(0)
-    starts = cum - counts                                  # exclusive cumsum
+    n = proj.depths.shape[0]
+    visible = proj.num_tiles_hit > 0
+    depth_key = jnp.where(visible, proj.depths, jnp.inf)
+    # Depth-sort the GAUSSIANS (small sort); pair expansion then yields
+    # pairs depth-ordered within every tile for free.
+    _, order = jax.lax.sort((depth_key, jnp.arange(n, dtype=jnp.int32)),
+                            num_keys=1, is_stable=True)
 
-    n = counts.shape[0]
+    counts = proj.num_tiles_hit[order].astype(jnp.int32)     # (N,) sorted
+    cum = jnp.cumsum(counts)
+    total = cum[-1] if n > 0 else jnp.int32(0)
+    starts = cum - counts
+
     slot = jnp.arange(max_pairs, dtype=jnp.int32)
-    # Owner gaussian of each pair slot: first g with cum[g] > slot.
-    g = jnp.searchsorted(cum, slot, side="right").astype(jnp.int32)
-    g = jnp.minimum(g, n - 1)
+    gs = _owner_by_scatter(jnp.where(counts > 0, starts, max_pairs), max_pairs, n)
+    gs = jnp.clip(gs, 0, n - 1)
     valid = slot < total
 
-    box = proj.tile_box[g]                                 # (max_pairs, 4)
-    local = slot - starts[g]
+    g = order[gs]                                            # original index
+    box = proj.tile_box[g]                                   # (max_pairs, 4)
+    local = slot - starts[gs]
     w = jnp.maximum(box[:, 1] - box[:, 0], 1)
     tx = box[:, 0] + local % w
     ty = box[:, 2] + local // w
     tile_id = ty * ntx + tx
-    tile_id = jnp.where(valid, tile_id, num_tiles)         # sentinel sorts last
-    depth = jnp.where(valid, proj.depths[g], jnp.inf)
+    tile_id = jnp.where(valid, tile_id, num_tiles)           # sentinel last
 
-    tile_sorted, _, gauss_sorted = jax.lax.sort(
-        (tile_id, depth, g), num_keys=2, is_stable=True
-    )
+    # Single-key stable sort: preserves depth order within each tile.
+    tile_sorted, gauss_sorted = jax.lax.sort((tile_id, g), num_keys=1,
+                                             is_stable=True)
     pair_valid = tile_sorted < num_tiles
 
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(tile_sorted, tids, side="left").astype(jnp.int32)
-    tile_end = jnp.searchsorted(tile_sorted, tids, side="right").astype(jnp.int32)
+    tile_start = jnp.searchsorted(tile_sorted, tids, side="left").astype(
+        jnp.int32)
+    tile_end = jnp.searchsorted(tile_sorted, tids, side="right").astype(
+        jnp.int32)
 
     return TileBins(
         gauss_idx=gauss_sorted,
@@ -94,11 +117,12 @@ def bin_gaussians(
 
 def align_bins(bins: TileBins, align: int) -> TileBins:
     """Re-pack the sorted pair list so every tile's range starts at a
-    multiple of `align` and spans a multiple of `align` slots (pad slots are
-    invalid pairs). The Pallas kernel DMAs `align`-pair rows from HBM, and
-    Mosaic requires lane-tiling-aligned slices — this one gather pass buys
-    fully aligned, arbitrary-length per-tile streams.
+    multiple of `align` and spans a multiple of `align` slots (pad slots
+    are invalid pairs). The Pallas kernel DMAs `align`-pair rows from HBM,
+    and Mosaic requires lane-tiling-aligned slices.
 
+    Implemented as a direct position scatter: pair i of tile t moves to
+    aligned_start[t] + (i - tile_start[t]). One gather + one scatter.
     Output capacity is bins.gauss_idx.shape[0] + num_tiles*align (static).
     """
     num_tiles = bins.tile_start.shape[0]
@@ -110,23 +134,26 @@ def align_bins(bins: TileBins, align: int) -> TileBins:
     new_start = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                  jnp.cumsum(padded)[:-1].astype(jnp.int32)])
 
-    slot = jnp.arange(cap, dtype=jnp.int32)
-    # Owner tile of each aligned slot.
-    ends = new_start + padded
-    t = jnp.searchsorted(ends, slot, side="right").astype(jnp.int32)
-    t = jnp.minimum(t, num_tiles - 1)
-    local = slot - new_start[t]
-    in_tile = (slot < ends[t]) & (local < counts[t])
-    src = jnp.clip(bins.tile_start[t] + local, 0, max_pairs - 1)
+    # Owning tile of each ORIGINAL pair slot (valid pairs only): tiles are
+    # contiguous runs in the sorted list, so reuse the scatter trick over
+    # tile_start (zero-count tiles skipped the same way).
+    slot = jnp.arange(max_pairs, dtype=jnp.int32)
+    t_of = _owner_by_scatter(
+        jnp.where(counts > 0, bins.tile_start, max_pairs), max_pairs,
+        num_tiles)
+    t_of = jnp.clip(t_of, 0, num_tiles - 1)
+    pos = new_start[t_of] + (slot - bins.tile_start[t_of])
+    pos = jnp.where(bins.pair_valid, pos, cap)               # drop invalid
 
-    gauss = jnp.where(in_tile, bins.gauss_idx[src], 0)
-    valid = in_tile & bins.pair_valid[src]
+    gauss = jnp.zeros((cap,), jnp.int32).at[pos].set(bins.gauss_idx,
+                                                     mode="drop")
+    valid = jnp.zeros((cap,), bool).at[pos].set(bins.pair_valid, mode="drop")
 
     return TileBins(
         gauss_idx=gauss,
         pair_valid=valid,
         tile_start=new_start,
-        tile_count=padded,          # aligned span; invalid slots padded
+        tile_count=padded,          # aligned span; pad slots invalid
         num_pairs=bins.num_pairs,
         num_tiles_x=bins.num_tiles_x,
         num_tiles_y=bins.num_tiles_y,
