@@ -50,8 +50,11 @@ def main():
     n = 1_000_000 if on_tpu else 20_000
     w, h = (1600, 1056) if on_tpu else (400, 400)
     impl = "pallas" if on_tpu else "chunked"
+    # Pair capacity sized to the scene (true pairs ~5.5M): every binning /
+    # alignment / reduction pass is O(max_pairs), so capacity slack is
+    # pure overhead.
     cfg = RenderConfig(
-        max_pairs=2 ** 23 if on_tpu else 2 ** 17,
+        max_pairs=6_291_456 if on_tpu else 2 ** 17,   # 48k x 128
         max_per_tile=4096 if on_tpu else 512,
         chunk=64 if on_tpu else 32,
         impl=impl,

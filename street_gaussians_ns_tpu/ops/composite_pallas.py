@@ -51,7 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .rasterize_ref import ALPHA_CLAMP, ALPHA_THRESH, T_EPS
-from .tiles import TileBins, _owner_by_scatter, align_bins
+from .tiles import TileBins, _owner_by_scatter, align_bins, aligned_src
 
 TILE = 16
 PIX = TILE * TILE          # 256 pixels per tile
@@ -360,22 +360,88 @@ def _bwd_kernel(ntx_ref, rows_ref, nchunks_ref, feat_hbm,
     # zeroes the unwritten rows with one vectorized mask outside.
 
 
-def _build_feat(xys, conics, colors, opacities, bins: TileBins):
+def _build_feat(xys, conics, colors, opacities, bins: TileBins,
+                src: jax.Array, valid: jax.Array):
     """Gather splat attributes into aligned-pair order and pack as
-    (rows, NFEAT, K): row r, lane j = pair r*K+j. One XLA gather pass."""
+    (rows, NFEAT, K): row r, lane j = aligned pair r*K+j.
+
+    Packs a per-GAUSSIAN (N, NFEAT) table first so the big per-pair gather
+    reads 64-byte contiguous rows (a narrow gather of millions of rows
+    from 2/3/4-wide arrays costs ~20x more HBM traffic on TPU); the
+    alignment indirection (src) fuses into the same gather."""
     nc = colors.shape[-1]
-    g = bins.gauss_idx
-    n_pairs = g.shape[0]
+    n_pairs = src.shape[0]
+    n = xys.shape[0]
     assert n_pairs % K == 0
-    ok = bins.pair_valid
-    rows = jnp.concatenate([
-        xys[g],                                      # 0:2
-        conics[g],                                   # 2:5
-        jnp.where(ok, opacities[g], 0.0)[:, None],   # 5:6 (invalid -> 0)
-        colors[g].astype(jnp.float32),               # 6:6+nc
-        jnp.zeros((n_pairs, NFEAT - 6 - nc), jnp.float32),
-    ], axis=-1)                                      # (P, NFEAT)
+    table = jnp.concatenate([
+        xys,                                         # 0:2
+        conics,                                      # 2:5
+        opacities[:, None],                          # 5:6
+        colors.astype(jnp.float32),                  # 6:6+nc
+        jnp.zeros((n, NFEAT - 6 - nc), jnp.float32),
+    ], axis=-1)                                      # (N, NFEAT)
+    rows = table[bins.gauss_idx[src]]                # (P_aligned, NFEAT)
+    # Invalid pad pairs render as alpha 0.
+    rows = rows.at[:, 5].set(jnp.where(valid, rows[:, 5], 0.0))
     return rows.reshape(n_pairs // K, K, NFEAT).transpose(0, 2, 1)
+
+
+def _reduce_pair_grads(gpair_rows: jax.Array, bins: TileBins,
+                       src: jax.Array, valid: jax.Array,
+                       num_gaussians: int) -> jax.Array:
+    """Per-pair gradients (aligned order) -> per-gaussian sums, without a
+    giant scatter-add (XLA's segment_sum over millions of random ids is a
+    ~1s serialization on TPU). Pipeline, all gathers + one cumsum:
+
+      1. invert the tile sort: a small unique-index int32 scatter maps
+         expansion slot -> sorted position (the sort payload IS the
+         forward permutation),
+      2. gather pair grads into EXPANSION order, where every gaussian's
+         pairs are contiguous (gaussian-major pair enumeration),
+      3. exclusive-prefix cumsum + two boundary gathers = per-depth-rank
+         sums (reduceat), and one (N,)-sized unique scatter maps ranks
+         back to original gaussian indices.
+    """
+    max_pairs = bins.exp_slot.shape[0]
+    cap = src.shape[0]
+    num_tiles = bins.tile_start.shape[0]
+
+    # 1. sorted position of each expansion slot.
+    inv = jnp.zeros((max_pairs,), jnp.int32).at[bins.exp_slot].set(
+        jnp.arange(max_pairs, dtype=jnp.int32), mode="drop",
+        unique_indices=True)
+    # sorted position -> aligned position: the per-tile shift
+    # new_start[t] - tile_start[t] broadcast to the tile's slots via
+    # packed cummax (ops.tiles.segment_broadcast), no per-slot gathers.
+    from .tiles import segment_broadcast
+
+    padded = ((bins.tile_count + K - 1) // K) * K
+    new_start = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                 jnp.cumsum(padded)[:-1].astype(jnp.int32)])
+    start_sent = jnp.where(bins.tile_count > 0, bins.tile_start, max_pairs)
+    c_bits = max(int(cap).bit_length(), 1)
+    ns_b, ts_b = segment_broadcast(
+        [new_start, bins.tile_start], [c_bits, c_bits], start_sent,
+        max_pairs)
+    a_pos = ns_b + (jnp.arange(max_pairs, dtype=jnp.int32) - ts_b)
+    exp_to_aligned = a_pos[inv]                            # (max_pairs,)
+
+    # 2. grads in expansion order (invalid expansion slots -> zero rows).
+    e_valid = (jnp.arange(max_pairs) <
+               jnp.minimum(bins.num_pairs, max_pairs))
+    exp_rows = gpair_rows[jnp.clip(exp_to_aligned, 0, cap - 1)]
+    exp_rows = jnp.where(e_valid[:, None], exp_rows, 0.0)
+
+    # 3. reduceat via prefix sums over contiguous per-rank runs.
+    prefix = jnp.cumsum(exp_rows, axis=0)
+    starts = bins.exp_starts
+    ends = jnp.clip(starts + bins.exp_counts, 0, max_pairs)
+    hi = prefix[jnp.clip(ends - 1, 0, max_pairs - 1)]
+    lo = jnp.where((starts > 0)[:, None],
+                   prefix[jnp.clip(starts - 1, 0, max_pairs - 1)], 0.0)
+    rank_sums = jnp.where((bins.exp_counts > 0)[:, None], hi - lo, 0.0)
+    out = jnp.zeros((num_gaussians, gpair_rows.shape[-1]), jnp.float32)
+    return out.at[bins.depth_order].set(rank_sums, unique_indices=True)
 
 
 def _fwd_call(feat, row0, nchunks, ntx, num_tiles: int, nc: int,
@@ -471,23 +537,26 @@ def _rasterize_pallas_fwd(xys, conics, colors, opacities, bins,
     ntx, nty = bins.num_tiles_x, bins.num_tiles_y
     num_tiles = ntx * nty
     nc = colors.shape[-1]
-    abins = align_bins(bins, K)
-    feat = _build_feat(xys, conics, colors, opacities, abins)
-    row0 = abins.tile_start // K
-    nchunks = abins.tile_count // K
+    new_start, padded = align_bins(bins, K)
+    src, valid = aligned_src(bins, new_start, padded, K)
+    feat = _build_feat(xys, conics, colors, opacities, bins, src, valid)
+    row0 = new_start // K
+    nchunks = padded // K
     accum, tfin, ncon = _fwd_call(feat, row0, nchunks, ntx, num_tiles, nc,
                                   interpret)
     img = _tiles_to_image(accum, ntx, nty, width, height)
     alpha = 1.0 - _tiles_to_image(tfin, ntx, nty, width, height)
-    residuals = (abins, feat, row0, nchunks, accum, tfin, ncon)
+    residuals = (bins, new_start, src, valid, feat, row0, nchunks, accum,
+                 tfin, ncon)
     return (img, alpha), residuals
 
 
 def _rasterize_pallas_bwd(width, height, num_gaussians, interpret,
                           residuals, cotangents):
-    (abins, feat, row0, nchunks, accum, tfin, ncon) = residuals
+    (bins, new_start, src, valid, feat, row0, nchunks, accum, tfin,
+     ncon) = residuals
     g_img, g_alpha = cotangents
-    ntx, nty = abins.num_tiles_x, abins.num_tiles_y
+    ntx, nty = bins.num_tiles_x, bins.num_tiles_y
     num_tiles = ntx * nty
     nc = accum.shape[-1]
 
@@ -513,19 +582,20 @@ def _rasterize_pallas_bwd(width, height, num_gaussians, interpret,
 
     gpair = _bwd_call(feat, row0, nchunks_bwd, ntx, num_tiles, nc,
                       g_accum.transpose(0, 2, 1), aux, interpret)
-    # (rows, NFEAT, K) -> (P, NFEAT); zero unwritten/pad rows.
+    # (rows, NFEAT, K) -> (P_aligned, NFEAT); zero unwritten/pad rows.
     gpair = gpair.transpose(0, 2, 1).reshape(-1, NFEAT)
-    cap = abins.gauss_idx.shape[0]
+    cap = src.shape[0]
     slot = jnp.arange(cap, dtype=jnp.int32)
-    t_of = _owner_by_scatter(
-        jnp.where(abins.tile_count > 0, abins.tile_start, cap), cap,
-        num_tiles)
-    t_of = jnp.clip(t_of, 0, num_tiles - 1)
-    written = (slot - abins.tile_start[t_of]) < nchunks_bwd[t_of] * K
-    gpair = jnp.where((abins.pair_valid & written)[:, None], gpair, 0.0)
+    from .tiles import segment_broadcast
 
-    seg = jax.ops.segment_sum(gpair, abins.gauss_idx,
-                              num_segments=num_gaussians)
+    c_bits = max(int(cap).bit_length(), 1)
+    ns_b, nw_b = segment_broadcast(
+        [new_start, nchunks_bwd * K], [c_bits, c_bits],
+        jnp.where(nchunks > 0, new_start, cap), cap)
+    written = (slot - ns_b) < nw_b
+    gpair = jnp.where((valid & written)[:, None], gpair, 0.0)
+
+    seg = _reduce_pair_grads(gpair, bins, src, valid, num_gaussians)
     g_xys = seg[:, 0:2]
     g_conics = seg[:, 2:5]
     g_opac = seg[:, 5]

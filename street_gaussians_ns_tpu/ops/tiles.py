@@ -41,18 +41,72 @@ class TileBins:
     tile_start: jax.Array   # (num_tiles,) int32 start offset into sorted pairs
     tile_count: jax.Array   # (num_tiles,) int32 number of pairs per tile
     num_pairs: jax.Array    # () int32 true number of pairs (may exceed max_pairs)
+    # Pre-sort (gaussian-major "expansion") slot of each sorted pair, and
+    # the depth ordering of gaussians — together they let the backward
+    # reduce per-pair gradients with gathers + a cumsum instead of a giant
+    # scatter-add (see composite_pallas._reduce_pair_grads).
+    exp_slot: jax.Array     # (max_pairs,) int32; sentinel max_pairs if invalid
+    depth_order: jax.Array  # (N,) int32: depth rank -> original gaussian index
+    exp_starts: jax.Array   # (N,) int32 exclusive cumsum of per-rank counts
+    exp_counts: jax.Array   # (N,) int32 tiles-hit per depth rank
     num_tiles_x: int = dataclasses.field(metadata=dict(static=True))
     num_tiles_y: int = dataclasses.field(metadata=dict(static=True))
 
 
+def segment_broadcast(values, bits, starts: jax.Array, capacity: int):
+    """Broadcast per-run non-negative int values to every slot of
+    contiguous runs WITHOUT a per-slot gather (XLA:TPU random gathers cost
+    ~30 ns/element; one unique row-scatter + one vectorized cummax pass
+    runs at memory speed).
+
+    values: list of (n,) int32 per-run arrays; bits: list of their widths;
+    starts: (n,) slot index of each run's first slot (sentinel >= capacity
+    for empty runs — their values never land). Each int32 column packs
+    (run-rank, value-chunk) so the per-column cumulative max propagates
+    the value of the LAST run started at or before the slot; values wider
+    than the payload budget span several columns. Returns the broadcasted
+    (capacity,) arrays. Slots before the first run get garbage — callers
+    mask by validity.
+    """
+    n = starts.shape[0]
+    rank_bits = max(int(max(n - 1, 1)).bit_length(), 1)
+    payload = 30 - rank_bits
+    assert payload >= 1, "too many runs for packed segment_broadcast"
+    ranks = jnp.arange(n, dtype=jnp.int32)
+    vmax = jnp.int32(1 << payload)
+
+    cols = []
+    layout = []  # (value index, shift)
+    for vi, (v, b) in enumerate(zip(values, bits)):
+        for shift in range(0, b, payload):
+            cols.append(ranks * vmax + ((v >> shift) & (vmax - 1)))
+            layout.append((vi, shift))
+    packed = jnp.stack(cols, axis=-1)                        # (n, C)
+    buf = jnp.full((capacity, len(cols)), -1, jnp.int32)
+    buf = buf.at[starts].set(packed, mode="drop", unique_indices=True)
+    prop = jax.lax.cummax(buf, axis=0)                       # (capacity, C)
+
+    outs = [jnp.zeros((capacity,), jnp.int32) for _ in values]
+    for ci, (vi, shift) in enumerate(layout):
+        outs[vi] = outs[vi] | ((prop[:, ci] & (vmax - 1)) << shift)
+    return outs
+
+
 def _owner_by_scatter(starts: jax.Array, capacity: int, n: int) -> jax.Array:
     """slot -> index of the owning run: for runs with exclusive-cumsum
-    `starts`, owner[s] = (# runs with start <= s) - 1. Zero-length runs
-    share a start with their successor and are correctly skipped (the
-    later scatter-add wins in the cumsum)."""
-    seg = jnp.zeros((capacity,), jnp.int32)
-    seg = seg.at[jnp.clip(starts, 0, capacity - 1)].add(1, mode="drop")
-    return jnp.cumsum(seg) - 1
+    `starts` (callers pass sentinel >= capacity for zero-length runs),
+    owner[s] = the largest run index whose start <= s.
+
+    scatter-SET with unique indices + a cumulative max: XLA:TPU lowers
+    non-unique scatter-ADD to a serial update loop (hundreds of ms at
+    millions of slots), while unique set-scatter and associative scans
+    stay vectorized. Marking each run's start with its FULL index also
+    keeps indices correct when zero-length runs precede (a compact
+    counting scheme would mis-index the full arrays)."""
+    mark = jnp.full((capacity,), -1, jnp.int32)
+    mark = mark.at[starts].set(jnp.arange(n, dtype=jnp.int32), mode="drop",
+                               unique_indices=True)
+    return jax.lax.cummax(mark)
 
 
 def bin_gaussians(
@@ -80,23 +134,34 @@ def bin_gaussians(
     starts = cum - counts
 
     slot = jnp.arange(max_pairs, dtype=jnp.int32)
-    gs = _owner_by_scatter(jnp.where(counts > 0, starts, max_pairs), max_pairs, n)
-    gs = jnp.clip(gs, 0, n - 1)
     valid = slot < total
 
-    g = order[gs]                                            # original index
-    box = proj.tile_box[g]                                   # (max_pairs, 4)
-    local = slot - starts[gs]
-    w = jnp.maximum(box[:, 1] - box[:, 0], 1)
-    tx = box[:, 0] + local % w
-    ty = box[:, 2] + local // w
-    tile_id = ty * ntx + tx
+    # Per-run constants broadcast to slots via packed cummax (no per-slot
+    # gathers): the sorted-gaussian original index, the run start, the
+    # box's base tile id and width.
+    box_s = proj.tile_box[order]                             # (N, 4) gather
+    b0 = box_s[:, 2] * ntx + box_s[:, 0]                     # base tile id
+    bw = jnp.maximum(box_s[:, 1] - box_s[:, 0], 1)
+    start_sent = jnp.where(counts > 0, starts, max_pairs)
+    n_bits = max(int(max(n - 1, 1)).bit_length(), 1)
+    p_bits = max(int(max_pairs).bit_length(), 1)
+    t_bits = max(int(num_tiles).bit_length(), 1)
+    g_b, start_b, b0_b, w_b = segment_broadcast(
+        [order, starts, b0, bw], [n_bits, p_bits, t_bits, 8],
+        start_sent, max_pairs)
+
+    g = g_b
+    local = slot - start_b
+    tile_id = b0_b + local % w_b + (local // w_b) * ntx
     tile_id = jnp.where(valid, tile_id, num_tiles)           # sentinel last
 
-    # Single-key stable sort: preserves depth order within each tile.
-    tile_sorted, gauss_sorted = jax.lax.sort((tile_id, g), num_keys=1,
-                                             is_stable=True)
+    # Single-key stable sort: preserves depth order within each tile. The
+    # payload is the expansion slot; gauss ids are recovered by gather
+    # (and the slot doubles as the sort permutation for the backward).
+    tile_sorted, slot_sorted = jax.lax.sort((tile_id, slot), num_keys=1,
+                                            is_stable=True)
     pair_valid = tile_sorted < num_tiles
+    gauss_sorted = g[slot_sorted]
 
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(tile_sorted, tids, side="left").astype(
@@ -110,51 +175,49 @@ def bin_gaussians(
         tile_start=tile_start,
         tile_count=tile_end - tile_start,
         num_pairs=total,
+        exp_slot=jnp.where(pair_valid, slot_sorted, max_pairs),
+        depth_order=order,
+        exp_starts=starts,
+        exp_counts=counts,
         num_tiles_x=ntx,
         num_tiles_y=nty,
     )
 
 
-def align_bins(bins: TileBins, align: int) -> TileBins:
-    """Re-pack the sorted pair list so every tile's range starts at a
-    multiple of `align` and spans a multiple of `align` slots (pad slots
-    are invalid pairs). The Pallas kernel DMAs `align`-pair rows from HBM,
-    and Mosaic requires lane-tiling-aligned slices.
-
-    Implemented as a direct position scatter: pair i of tile t moves to
-    aligned_start[t] + (i - tile_start[t]). One gather + one scatter.
-    Output capacity is bins.gauss_idx.shape[0] + num_tiles*align (static).
+def align_bins(bins: TileBins, align: int):
+    """Aligned per-tile ranges: every tile's range starts at a multiple of
+    `align` and spans a multiple of `align` slots (the Pallas kernel DMAs
+    `align`-pair rows from HBM; Mosaic requires lane-tiling-aligned
+    slices). Returns ((T,) aligned starts, (T,) aligned spans) — the
+    re-packed pair data itself is never materialized; consumers gather via
+    `aligned_src`. Aligned capacity = max_pairs + num_tiles*align (static).
     """
-    num_tiles = bins.tile_start.shape[0]
-    max_pairs = bins.gauss_idx.shape[0]
-    cap = max_pairs + num_tiles * align
-
     counts = bins.tile_count
     padded = ((counts + align - 1) // align) * align          # (T,)
     new_start = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                  jnp.cumsum(padded)[:-1].astype(jnp.int32)])
+    return new_start, padded
 
-    # Owning tile of each ORIGINAL pair slot (valid pairs only): tiles are
-    # contiguous runs in the sorted list, so reuse the scatter trick over
-    # tile_start (zero-count tiles skipped the same way).
-    slot = jnp.arange(max_pairs, dtype=jnp.int32)
-    t_of = _owner_by_scatter(
-        jnp.where(counts > 0, bins.tile_start, max_pairs), max_pairs,
-        num_tiles)
-    t_of = jnp.clip(t_of, 0, num_tiles - 1)
-    pos = new_start[t_of] + (slot - bins.tile_start[t_of])
-    pos = jnp.where(bins.pair_valid, pos, cap)               # drop invalid
 
-    gauss = jnp.zeros((cap,), jnp.int32).at[pos].set(bins.gauss_idx,
-                                                     mode="drop")
-    valid = jnp.zeros((cap,), bool).at[pos].set(bins.pair_valid, mode="drop")
+def aligned_src(bins: TileBins, new_start: jax.Array, padded: jax.Array,
+                align: int):
+    """Source (pre-alignment) pair index + validity for each aligned slot.
 
-    return TileBins(
-        gauss_idx=gauss,
-        pair_valid=valid,
-        tile_start=new_start,
-        tile_count=padded,          # aligned span; pad slots invalid
-        num_pairs=bins.num_pairs,
-        num_tiles_x=bins.num_tiles_x,
-        num_tiles_y=bins.num_tiles_y,
-    )
+    One fused gather pass (align_bins only produces the (T,)-sized range
+    arrays; consumers gather straight from the original sorted pair list —
+    materializing a re-packed copy costs two full HBM round trips)."""
+    num_tiles = bins.tile_start.shape[0]
+    max_pairs = bins.gauss_idx.shape[0]
+    cap = max_pairs + num_tiles * align
+
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    start_sent = jnp.where(padded > 0, new_start, cap)
+    c_bits = max(int(cap).bit_length(), 1)
+    ns_b, ts_b, cnt_b = segment_broadcast(
+        [new_start, bins.tile_start, bins.tile_count],
+        [c_bits, c_bits, c_bits], start_sent, cap)
+    local = slot - ns_b
+    in_tile = local < cnt_b
+    src = jnp.clip(ts_b + local, 0, max_pairs - 1)
+    valid = in_tile & bins.pair_valid[src]
+    return src, valid

@@ -163,12 +163,10 @@ def sharded_scene_loss(
 
         # --- bin (full set; replicated across model cols) -------------------
         bins = bin_gaussians(pr, width, height, ts, render_config.max_pairs)
-        bins_pad = TileBins(
-            gauss_idx=bins.gauss_idx, pair_valid=bins.pair_valid,
+        bins_pad = dataclasses.replace(
+            bins,
             tile_start=_pad_to(bins.tile_start, tiles_pad),
-            tile_count=_pad_to(bins.tile_count, tiles_pad),
-            num_pairs=bins.num_pairs,
-            num_tiles_x=ntx, num_tiles_y=nty)
+            tile_count=_pad_to(bins.tile_count, tiles_pad))
 
         # --- composite MY tile strip ---------------------------------------
         m_idx = jax.lax.axis_index("model")

@@ -106,6 +106,22 @@ class TestTiledVsOracle:
         np.testing.assert_allclose(img_t, img_o, atol=1e-5)
         np.testing.assert_allclose(a_t, a_o, atol=1e-5)
 
+    @pytest.mark.parametrize("impl", ["tiles", "chunked"])
+    def test_invisible_gaussians_interleaved(self, impl):
+        """Zero-tile-count gaussians interleaved with visible ones: the
+        binning owner computation must keep FULL indices (regression for
+        the compact-counting mis-index)."""
+        means, scales, quats, colors, opac, cam = make_scene(120, 11)
+        # Push every third gaussian behind the camera.
+        behind = jnp.arange(120) % 3 == 0
+        means = jnp.where(behind[:, None],
+                          means * jnp.array([1.0, 1.0, -1.0]), means)
+        img_o, a_o = full_pipeline(means, scales, quats, colors, opac, cam,
+                                   impl="oracle")
+        img_t, a_t = full_pipeline(means, scales, quats, colors, opac, cam,
+                                   impl=impl)
+        np.testing.assert_allclose(img_t, img_o, atol=1e-5)
+
     def test_chunked_saturation_termination(self):
         """Stacks of near-opaque splats: T crosses 1e-4 mid-sequence, so the
         cross-chunk done-latch must freeze T exactly where the oracle does."""
