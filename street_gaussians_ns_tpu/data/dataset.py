@@ -59,6 +59,34 @@ def load_semantics(path: Path) -> np.ndarray:
     return out[..., None]
 
 
+def load_depth(path: Path, scale_factor: float = 1.0) -> np.ndarray:
+    """(H, W, 1) float32 depth. Supports .npy/.npz, 16-bit png (mm), and
+    the 2x8bit-channel png packing — the loader set of
+    data/utils/data_utils.py:73-110."""
+    from PIL import Image
+
+    p = Path(path)
+    if p.suffix == ".npy":
+        d = np.load(p)
+    elif p.suffix == ".npz":
+        z = np.load(p)
+        d = z[list(z.keys())[0]]
+    else:
+        img = np.asarray(Image.open(p))
+        if img.dtype == np.uint16:
+            d = img.astype(np.float32) / 1000.0     # mm -> m
+        elif img.ndim == 3 and img.shape[-1] >= 2:
+            # two 8-bit channels: high*256 + low, in mm
+            d = (img[..., 0].astype(np.float32) * 256.0
+                 + img[..., 1].astype(np.float32)) / 1000.0
+        else:
+            d = img.astype(np.float32)
+    d = np.asarray(d, np.float32) * scale_factor
+    if d.ndim == 2:
+        d = d[..., None]
+    return d
+
+
 def undistort_frame(
     image: np.ndarray,
     fx: float, fy: float, cx: float, cy: float,

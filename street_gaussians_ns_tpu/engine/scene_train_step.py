@@ -64,8 +64,13 @@ def scene_train_step(
     batch: dict,
     config: SceneGraphConfig,
     render_config: RenderConfig,
+    subset_accs: bool = True,
 ):
-    """One scene-graph optimization step. Returns (new_state, metrics)."""
+    """One scene-graph optimization step. Returns (new_state, metrics).
+
+    subset_accs=False drops the object/background accumulation renders
+    (only needed once the entropy loss activates past stop_split_at) —
+    the host trainer switches variants at the boundary."""
     rng, k_sky = jax.random.split(state.rng)
     store = state.store
     cap_bg = store.background.capacity
@@ -93,7 +98,8 @@ def scene_train_step(
         )
         outputs, rout, _ = forward_scene(
             s, tracks, camera, state.step, config, render_config,
-            rng=k_sky, training=True, xys_offset=xys_offset)
+            rng=k_sky, training=True, xys_offset=xys_offset,
+            subset_accs=subset_accs)
         losses = scene_loss_dict(outputs, batch, config, state.step)
         return sum(losses.values()), (losses, outputs, rout)
 
@@ -164,11 +170,21 @@ def scene_train_step(
     new_store = dataclasses.replace(new_store, background=bg_store,
                                     objects=obj_store)
 
+    # Parity with get_metrics_dict (sgn_splatfacto.py:1015-1040).
+    bg_act = bg_store.active
+    n_act = jnp.maximum(jnp.sum(bg_act), 1)
     metrics = {
         "loss": total,
         "psnr": psnr(outputs["rgb"], batch["image"]),
         "gaussian_count": (bg_store.num_active
                            + (obj_store.num_active if n_obj else 0)),
+        "scale_mean": jnp.sum(jnp.where(
+            bg_act[:, None], jnp.exp(bg_store.params.scales), 0.0)) / (3 * n_act),
+        "log_scale_mean": jnp.sum(jnp.where(
+            bg_act[:, None], bg_store.params.scales, 0.0)) / (3 * n_act),
+        "sigmoid_opacity": jnp.sum(jnp.where(
+            bg_act, jax.nn.sigmoid(bg_store.params.opacities[:, 0]), 0.0)) / n_act,
+        "radii_mean": jnp.mean(rout.projected.radii.astype(jnp.float32)),
         **losses,
     }
     return SceneTrainState(store=new_store, opt=new_opt,

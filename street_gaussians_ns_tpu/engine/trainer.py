@@ -142,12 +142,18 @@ class Trainer:
             scene_refine_step, config=self.config,
             num_train_data=self.dm.num_train))
 
-    def _step_fn(self, height: int, width: int):
-        key = (height, width)
+    def _step_fn(self, height: int, width: int, step: int):
+        # The entropy loss (and thus the object/background accumulation
+        # renders) only activates past the background's stop_split_at —
+        # compile a lean variant for the first phase (one compositing pass
+        # instead of three).
+        subset_accs = (self.config.object_acc_entropy_loss_mult > 0
+                       and step > self.config.background.stop_split_at)
+        key = (height, width, subset_accs)
         if key not in self._step_fns:
             self._step_fns[key] = jax.jit(functools.partial(
                 scene_train_step, config=self.config,
-                render_config=self.render_config))
+                render_config=self.render_config, subset_accs=subset_accs))
         return self._step_fns[key]
 
     def _device_batch(self, batch):
@@ -164,7 +170,7 @@ class Trainer:
         t_last = time.time()
         for step in range(self.start_step, total):
             camera, batch = self.dm.next_train(step)
-            fn = self._step_fn(camera.height, camera.width)
+            fn = self._step_fn(camera.height, camera.width, step)
             self.state, metrics = fn(self.state, self.tracks, camera,
                                      self._device_batch(batch))
             if (step + 1) % refine_every == 0:

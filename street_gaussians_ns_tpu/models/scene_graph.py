@@ -247,10 +247,16 @@ def forward_scene(
     training: bool = True,
     xys_offset: Optional[jax.Array] = None,
     eval_extras: bool = False,
+    subset_accs: bool = True,
 ):
     """Scene-graph forward (get_outputs, scene_graph:305-374): compose,
     render with sky, plus object-only / background-only accumulations (for
-    the entropy loss) and eval-only per-submodel RGB renders."""
+    the entropy loss) and eval-only per-submodel RGB renders.
+
+    subset_accs=False skips the two extra compositing passes — a static
+    optimization the trainer applies while the entropy loss is inactive
+    (step <= background.stop_split_at; the reference wastefully renders
+    them every step, scene_graph:364-366)."""
     flat, active, boxes = compose(store, tracks, camera.time, training)
     cap_bg = store.background.capacity
 
@@ -275,16 +281,19 @@ def forward_scene(
 
     # Object-only / background-only accumulations (scene_graph:364-366).
     # Re-rendered with subset active masks; colors don't matter for alpha.
-    n = active.shape[0]
-    seg_obj = jnp.arange(n) >= cap_bg
-    obj_active = active & seg_obj
-    bg_active = active & (~seg_obj)
-    out_obj = render(flat["means"], scales, flat["quats"], opac, rgbs, camera,
-                     render_config, training=training, active=obj_active)
-    out_bg = render(flat["means"], scales, flat["quats"], opac, rgbs, camera,
-                    render_config, training=training, active=bg_active)
-    outputs["object_acc"] = out_obj.accumulation
-    outputs["background_acc"] = out_bg.accumulation
+    if subset_accs or eval_extras:
+        n = active.shape[0]
+        seg_obj = jnp.arange(n) >= cap_bg
+        obj_active = active & seg_obj
+        bg_active = active & (~seg_obj)
+        out_obj = render(flat["means"], scales, flat["quats"], opac, rgbs,
+                         camera, render_config, training=training,
+                         active=obj_active)
+        out_bg = render(flat["means"], scales, flat["quats"], opac, rgbs,
+                        camera, render_config, training=training,
+                        active=bg_active)
+        outputs["object_acc"] = out_obj.accumulation
+        outputs["background_acc"] = out_bg.accumulation
 
     if eval_extras:
         # Eval-only per-submodel RGB (scene_graph:367-372).
@@ -309,7 +318,7 @@ def scene_loss_dict(
     entropy loss, active past the background's stop_split_at
     (scene_graph:376-391)."""
     losses = loss_dict(outputs, batch, config.base)
-    if config.object_acc_entropy_loss_mult > 0:
+    if config.object_acc_entropy_loss_mult > 0 and "object_acc" in outputs:
         acc = jnp.clip(outputs["object_acc"], 1e-5, 1.0 - 1e-5)
         ent = -(acc * jnp.log(acc) + (1 - acc) * jnp.log(1 - acc))
         gate = (step > config.background.stop_split_at).astype(jnp.float32)
