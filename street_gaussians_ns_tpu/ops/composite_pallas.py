@@ -132,7 +132,18 @@ def _composite_chunk_masks(T_in, done_in, alpha, skip):
     return contributes, a_c, T_before, T_out, done_out
 
 
-def _fwd_kernel(ntx_ref, rows_ref, nchunks_ref, feat_hbm,
+def _load_chunk(buf, slot, phi):
+    """Assemble the chunk's (NFEAT, K) feature block from the two DMA'd
+    rows straddling the tile's unaligned start: lane-rotate the (NFEAT,
+    2K) concatenation left by phi and keep the first K lanes. This is what
+    lets the kernel stream the SORTED pair list directly — no re-packed
+    aligned copy of the (pairs, feat) table in HBM."""
+    combined = jnp.concatenate([buf[slot, 0], buf[slot, 1]], axis=1)
+    shifted = pltpu.roll(combined, (2 * K - phi) % (2 * K), axis=1)
+    return shifted[:, :K]
+
+
+def _fwd_kernel(ntx_ref, starts_ref, counts_ref, feat_hbm,
                 accum_ref, tfin_ref, ncon_ref, buf, state, sem, *, nc: int):
     """state: VMEM (PIX, 8) scratch — columns [T, done, ncon, pad...].
     Loop state lives in scratch refs (the while carry holds only scalars):
@@ -140,13 +151,16 @@ def _fwd_kernel(ntx_ref, rows_ref, nchunks_ref, feat_hbm,
     through scf.while, but ref load/store round-trips are layout-free."""
     t = pl.program_id(0)
     ntx = ntx_ref[0]
-    row0 = rows_ref[t]
-    n_chunks = nchunks_ref[t]
+    start = starts_ref[t]
+    count = counts_ref[t]
+    row0 = start // K
+    phi = start % K
+    n_chunks = pl.cdiv(count, K)
     px, py = _pixel_coords(t, ntx)
 
     def dma(slot, c):
-        return pltpu.make_async_copy(feat_hbm.at[row0 + c], buf.at[slot],
-                                     sem.at[slot])
+        return pltpu.make_async_copy(
+            feat_hbm.at[pl.ds(row0 + c, 2)], buf.at[slot], sem.at[slot])
 
     @pl.when(n_chunks > 0)
     def _():
@@ -174,8 +188,10 @@ def _fwd_kernel(ntx_ref, rows_ref, nchunks_ref, feat_hbm,
         dma(slot, c).wait()
         T = state[:, 0:1]
         done = state[:, 1:2] > 0.5
-        frow = buf[slot]                                      # (NFEAT, K)
+        frow = _load_chunk(buf, slot, phi)                    # (NFEAT, K)
         alpha, skip, _ = _chunk_alpha(frow, px, py)
+        # Tail lanes past the tile's count belong to the NEXT tile.
+        skip = skip | ((kcol + c * K) >= count)
         contributes, a_c, T_before, T_out, done_out = _composite_chunk_masks(
             T, done, alpha, skip)
         w = a_c * T_before                                    # (PIX, K)
@@ -209,8 +225,8 @@ def _fwd_kernel(ntx_ref, rows_ref, nchunks_ref, feat_hbm,
     ncon_ref[0] = state[:, 2:3].T.astype(jnp.int32)
 
 
-def _bwd_kernel(ntx_ref, rows_ref, nchunks_ref, feat_hbm,
-                g_accum_hbm, aux_hbm,
+def _bwd_kernel(ntx_ref, starts_ref, counts_ref, arow_ref, nbwd_ref,
+                feat_hbm, g_accum_hbm, aux_hbm,
                 gpair_hbm, buf, gbuf, ga_s, aux_s, state, sem, gsem, iosem,
                 *, nc: int):
     """Forward-replay backward. Per-tile inputs (DMA'd to VMEM), both in
@@ -221,13 +237,17 @@ def _bwd_kernel(ntx_ref, rows_ref, nchunks_ref, feat_hbm,
     prefix the suffix term needs)]."""
     t = pl.program_id(0)
     ntx = ntx_ref[0]
-    row0 = rows_ref[t]
-    n_chunks = nchunks_ref[t]
+    start = starts_ref[t]
+    count = counts_ref[t]
+    arow0 = arow_ref[t]
+    row0 = start // K
+    phi = start % K
+    n_chunks = nbwd_ref[t]
     px, py = _pixel_coords(t, ntx)
 
     def dma_in(slot, c):
-        return pltpu.make_async_copy(feat_hbm.at[row0 + c], buf.at[slot],
-                                     sem.at[slot])
+        return pltpu.make_async_copy(
+            feat_hbm.at[pl.ds(row0 + c, 2)], buf.at[slot], sem.at[slot])
 
     # Load per-tile IO.
     cps = [
@@ -259,7 +279,7 @@ def _bwd_kernel(ntx_ref, rows_ref, nchunks_ref, feat_hbm,
     state[:, 2:3] = jnp.zeros((PIX, 1), jnp.float32)
 
     def wait_gout(slot, c):
-        pltpu.make_async_copy(gbuf.at[slot], gpair_hbm.at[row0 + c],
+        pltpu.make_async_copy(gbuf.at[slot], gpair_hbm.at[arow0 + c],
                               gsem.at[slot]).wait()
 
     def cond(carry):
@@ -283,8 +303,9 @@ def _bwd_kernel(ntx_ref, rows_ref, nchunks_ref, feat_hbm,
         T = state[:, 0:1]
         done = state[:, 1:2] > 0.5
         prefix_u = state[:, 2:3]
-        frow = buf[slot]
+        frow = _load_chunk(buf, slot, phi)
         alpha, skip, (dx, dy, sigma) = _chunk_alpha(frow, px, py)
+        skip = skip | ((kcol + c * K) >= count)
         within = (kcol + c * K).astype(jnp.float32) < ncon    # (PIX, K)
         contributes, a_c, T_before, T_out, done_out = \
             _composite_chunk_masks(T, done, alpha, skip)
@@ -332,7 +353,7 @@ def _bwd_kernel(ntx_ref, rows_ref, nchunks_ref, feat_hbm,
             colsum(gc_px), colsum(g_op_px), g_color,
             jnp.zeros((NFEAT - 6 - nc, K), jnp.float32)], axis=0)
         gbuf[slot] = gout
-        pltpu.make_async_copy(gbuf.at[slot], gpair_hbm.at[row0 + c],
+        pltpu.make_async_copy(gbuf.at[slot], gpair_hbm.at[arow0 + c],
                               gsem.at[slot]).start()
 
         state[:, 0:1] = T_out
@@ -360,17 +381,18 @@ def _bwd_kernel(ntx_ref, rows_ref, nchunks_ref, feat_hbm,
     # zeroes the unwritten rows with one vectorized mask outside.
 
 
-def _build_feat(xys, conics, colors, opacities, bins: TileBins,
-                src: jax.Array, valid: jax.Array):
-    """Gather splat attributes into aligned-pair order and pack as
-    (rows, NFEAT, K): row r, lane j = aligned pair r*K+j.
+def _build_feat(xys, conics, colors, opacities, bins: TileBins):
+    """Gather splat attributes into SORTED pair order and pack as
+    (rows+1, NFEAT, K): row r, lane j = sorted pair r*K+j (the +1 row of
+    zeros lets every tile's dual-row chunk read stay in bounds).
 
     Packs a per-GAUSSIAN (N, NFEAT) table first so the big per-pair gather
     reads 64-byte contiguous rows (a narrow gather of millions of rows
-    from 2/3/4-wide arrays costs ~20x more HBM traffic on TPU); the
-    alignment indirection (src) fuses into the same gather."""
+    from 2/3/4-wide arrays costs ~20x more HBM traffic on TPU). No
+    alignment indirection: the kernels stream unaligned tile ranges via
+    dual-row DMA + lane rotation (_load_chunk)."""
     nc = colors.shape[-1]
-    n_pairs = src.shape[0]
+    n_pairs = bins.gauss_idx.shape[0]
     n = xys.shape[0]
     assert n_pairs % K == 0
     table = jnp.concatenate([
@@ -380,15 +402,17 @@ def _build_feat(xys, conics, colors, opacities, bins: TileBins,
         colors.astype(jnp.float32),                  # 6:6+nc
         jnp.zeros((n, NFEAT - 6 - nc), jnp.float32),
     ], axis=-1)                                      # (N, NFEAT)
-    rows = table[bins.gauss_idx[src]]                # (P_aligned, NFEAT)
-    # Invalid pad pairs render as alpha 0.
-    rows = rows.at[:, 5].set(jnp.where(valid, rows[:, 5], 0.0))
-    return rows.reshape(n_pairs // K, K, NFEAT).transpose(0, 2, 1)
+    rows = table[bins.gauss_idx]                     # (P, NFEAT)
+    # Overflow-dropped / sentinel pairs render as alpha 0.
+    rows = rows.at[:, 5].set(jnp.where(bins.pair_valid, rows[:, 5], 0.0))
+    feat = rows.reshape(n_pairs // K, K, NFEAT).transpose(0, 2, 1)
+    return jnp.concatenate(
+        [feat, jnp.zeros((1, NFEAT, K), jnp.float32)], axis=0)
 
 
 def _reduce_pair_grads(gpair_rows: jax.Array, bins: TileBins,
-                       src: jax.Array, valid: jax.Array,
-                       num_gaussians: int) -> jax.Array:
+                       num_gaussians: int,
+                       interpret: bool = False) -> jax.Array:
     """Per-pair gradients (aligned order) -> per-gaussian sums, without a
     giant scatter-add (XLA's segment_sum over millions of random ids is a
     ~1s serialization on TPU). Pipeline, all gathers + one cumsum:
@@ -403,7 +427,7 @@ def _reduce_pair_grads(gpair_rows: jax.Array, bins: TileBins,
          back to original gaussian indices.
     """
     max_pairs = bins.exp_slot.shape[0]
-    cap = src.shape[0]
+    cap = gpair_rows.shape[0]
     num_tiles = bins.tile_start.shape[0]
 
     # 1. sorted position of each expansion slot.
@@ -432,8 +456,11 @@ def _reduce_pair_grads(gpair_rows: jax.Array, bins: TileBins,
     exp_rows = gpair_rows[jnp.clip(exp_to_aligned, 0, cap - 1)]
     exp_rows = jnp.where(e_valid[:, None], exp_rows, 0.0)
 
-    # 3. reduceat via prefix sums over contiguous per-rank runs.
-    prefix = jnp.cumsum(exp_rows, axis=0)
+    # 3. reduceat via prefix sums over contiguous per-rank runs (Pallas
+    # one-pass block scan; XLA cumsum at this size is ~log(n) full passes).
+    from .scan_pallas import cumsum_rows
+
+    prefix = cumsum_rows(exp_rows, interpret=interpret)
     starts = bins.exp_starts
     ends = jnp.clip(starts + bins.exp_counts, 0, max_pairs)
     hi = prefix[jnp.clip(ends - 1, 0, max_pairs - 1)]
@@ -444,7 +471,7 @@ def _reduce_pair_grads(gpair_rows: jax.Array, bins: TileBins,
     return out.at[bins.depth_order].set(rank_sums, unique_indices=True)
 
 
-def _fwd_call(feat, row0, nchunks, ntx, num_tiles: int, nc: int,
+def _fwd_call(feat, starts, counts, ntx, num_tiles: int, nc: int,
               interpret: bool = False):
     kernel = functools.partial(_fwd_kernel, nc=nc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -460,7 +487,7 @@ def _fwd_call(feat, row0, nchunks, ntx, num_tiles: int, nc: int,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, NFEAT, K), jnp.float32),
+            pltpu.VMEM((2, 2, NFEAT, K), jnp.float32),
             pltpu.VMEM((PIX, 8), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -474,21 +501,22 @@ def _fwd_call(feat, row0, nchunks, ntx, num_tiles: int, nc: int,
             jax.ShapeDtypeStruct((num_tiles, 1, PIX), jnp.int32),
         ),
         interpret=interpret,
-    )(jnp.asarray([ntx], jnp.int32), row0, nchunks, feat)
+    )(jnp.asarray([ntx], jnp.int32), starts, counts, feat)
     # (T, C, PIX) -> (T, PIX, C) outside the kernel (free in XLA).
     return accum.transpose(0, 2, 1), tfin[:, 0, :], ncon[:, 0, :]
 
 
-def _bwd_call(feat, row0, nchunks, ntx, num_tiles: int, nc: int,
-              g_accum, aux, interpret: bool = False):
+def _bwd_call(feat, starts, counts, arow, nbwd, gpair_rows: int, ntx,
+              num_tiles: int, nc: int, g_accum, aux,
+              interpret: bool = False):
     kernel = functools.partial(_bwd_kernel, nc=nc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, NFEAT, K), jnp.float32),
+            pltpu.VMEM((2, 2, NFEAT, K), jnp.float32),
             pltpu.VMEM((2, NFEAT, K), jnp.float32),
             pltpu.VMEM((nc, PIX), jnp.float32),
             pltpu.VMEM((4, PIX), jnp.float32),
@@ -501,10 +529,11 @@ def _bwd_call(feat, row0, nchunks, ntx, num_tiles: int, nc: int,
     gpair = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(feat.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((gpair_rows, NFEAT, K), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(jnp.asarray([ntx], jnp.int32), row0, nchunks, feat, g_accum, aux)
+    )(jnp.asarray([ntx], jnp.int32), starts, counts, arow, nbwd,
+      feat, g_accum, aux)
     return gpair
 
 
@@ -537,28 +566,27 @@ def _rasterize_pallas_fwd(xys, conics, colors, opacities, bins,
     ntx, nty = bins.num_tiles_x, bins.num_tiles_y
     num_tiles = ntx * nty
     nc = colors.shape[-1]
-    new_start, padded = align_bins(bins, K)
-    src, valid = aligned_src(bins, new_start, padded, K)
-    feat = _build_feat(xys, conics, colors, opacities, bins, src, valid)
-    row0 = new_start // K
-    nchunks = padded // K
-    accum, tfin, ncon = _fwd_call(feat, row0, nchunks, ntx, num_tiles, nc,
-                                  interpret)
+    feat = _build_feat(xys, conics, colors, opacities, bins)
+    accum, tfin, ncon = _fwd_call(feat, bins.tile_start, bins.tile_count,
+                                  ntx, num_tiles, nc, interpret)
     img = _tiles_to_image(accum, ntx, nty, width, height)
     alpha = 1.0 - _tiles_to_image(tfin, ntx, nty, width, height)
-    residuals = (bins, new_start, src, valid, feat, row0, nchunks, accum,
-                 tfin, ncon)
+    residuals = (bins, feat, accum, tfin, ncon)
     return (img, alpha), residuals
 
 
 def _rasterize_pallas_bwd(width, height, num_gaussians, interpret,
                           residuals, cotangents):
-    (bins, new_start, src, valid, feat, row0, nchunks, accum, tfin,
-     ncon) = residuals
+    (bins, feat, accum, tfin, ncon) = residuals
     g_img, g_alpha = cotangents
     ntx, nty = bins.num_tiles_x, bins.num_tiles_y
     num_tiles = ntx * nty
     nc = accum.shape[-1]
+    max_pairs = bins.gauss_idx.shape[0]
+    # Aligned output layout for the per-pair grads (collision-free rows per
+    # (tile, chunk); the write-side analog of align_bins).
+    new_start, padded = align_bins(bins, K)
+    cap = max_pairs + num_tiles * K
 
     def to_tiles(img, c):
         pad_h = nty * TILE - height
@@ -577,14 +605,15 @@ def _rasterize_pallas_bwd(width, height, num_gaussians, interpret,
 
     # The backward only needs chunks up to the last contributing pair
     # (everything behind it has zero gradient); n_contrib bounds that.
+    nchunks = padded // K
     nchunks_bwd = jnp.minimum(
         nchunks, (jnp.max(ncon, axis=1) + K - 1) // K).astype(jnp.int32)
 
-    gpair = _bwd_call(feat, row0, nchunks_bwd, ntx, num_tiles, nc,
-                      g_accum.transpose(0, 2, 1), aux, interpret)
+    gpair = _bwd_call(feat, bins.tile_start, bins.tile_count,
+                      new_start // K, nchunks_bwd, cap // K, ntx, num_tiles,
+                      nc, g_accum.transpose(0, 2, 1), aux, interpret)
     # (rows, NFEAT, K) -> (P_aligned, NFEAT); zero unwritten/pad rows.
     gpair = gpair.transpose(0, 2, 1).reshape(-1, NFEAT)
-    cap = src.shape[0]
     slot = jnp.arange(cap, dtype=jnp.int32)
     from .tiles import segment_broadcast
 
@@ -593,9 +622,9 @@ def _rasterize_pallas_bwd(width, height, num_gaussians, interpret,
         [new_start, nchunks_bwd * K], [c_bits, c_bits],
         jnp.where(nchunks > 0, new_start, cap), cap)
     written = (slot - ns_b) < nw_b
-    gpair = jnp.where((valid & written)[:, None], gpair, 0.0)
+    gpair = jnp.where(written[:, None], gpair, 0.0)
 
-    seg = _reduce_pair_grads(gpair, bins, src, valid, num_gaussians)
+    seg = _reduce_pair_grads(gpair, bins, num_gaussians, interpret)
     g_xys = seg[:, 0:2]
     g_conics = seg[:, 2:5]
     g_opac = seg[:, 5]
