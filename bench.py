@@ -54,7 +54,7 @@ def main():
     # alignment / reduction pass is O(max_pairs), so capacity slack is
     # pure overhead.
     cfg = RenderConfig(
-        max_pairs=6_291_456 if on_tpu else 2 ** 17,   # 48k x 128
+        max_pairs=4_456_448 if on_tpu else 2 ** 17,   # 34816 x 128
         max_per_tile=4096 if on_tpu else 512,
         chunk=64 if on_tpu else 32,
         impl=impl,

@@ -163,6 +163,13 @@ def project(
     mid = 0.5 * (a + c)
     v1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius_f = jnp.ceil(3.0 * jnp.sqrt(v1))
+    # Tile bounds use the exact AABB of the 3-sigma ELLIPSE (marginal
+    # stddevs sqrt(a), sqrt(c)) instead of gsplat's 3-sigma-circle square —
+    # every point outside it has sigma > 4.5 (alpha < 0.0111), so for
+    # anisotropic splats this sheds ~2x of the (gaussian, tile) pairs at a
+    # <=1.1%-alpha tail deviation from the reference's square binning.
+    rx_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(a, 1e-8)))
+    ry_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(c, 1e-8)))
 
     center_x = fx * px_v * rz + cx
     center_y = fy * py_v * rz + cy
@@ -171,13 +178,14 @@ def project(
     # Tile bounds [x0, x1) x [y0, y1), clamped to the grid.
     ntx = (width + tile_size - 1) // tile_size
     nty = (height + tile_size - 1) // tile_size
-    r = jax.lax.stop_gradient(radius_f)
+    rx = jax.lax.stop_gradient(rx_f)
+    ry = jax.lax.stop_gradient(ry_f)
     cxp = jax.lax.stop_gradient(center_x)
     cyp = jax.lax.stop_gradient(center_y)
-    x0 = jnp.clip(jnp.floor((cxp - r) / tile_size), 0, ntx).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((cyp - r) / tile_size), 0, nty).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((cxp + r) / tile_size) + 1, 0, ntx).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((cyp + r) / tile_size) + 1, 0, nty).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor((cxp - rx) / tile_size), 0, ntx).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((cyp - ry) / tile_size), 0, nty).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((cxp + rx) / tile_size) + 1, 0, ntx).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((cyp + ry) / tile_size) + 1, 0, nty).astype(jnp.int32)
 
     visible = valid & det_ok
     radii = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)

@@ -23,49 +23,79 @@ from jax.experimental.pallas import tpu as pltpu
 BLOCK = 2048
 
 
-def _cumsum_block(x):
-    """Inclusive cumsum along axis 0 of a (B, C) block via log-step
-    roll/add (Hillis-Steele; no cumsum lowering on TPU Pallas)."""
+def _scan_block(x, op):
+    """Inclusive scan along axis 0 of a (B, C) block via log-step
+    roll/combine (Hillis-Steele; no scan lowering on TPU Pallas)."""
     b = x.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    if op == "add":
+        identity = jnp.zeros_like(x)
+        combine = jnp.add
+    else:
+        identity = jnp.full_like(x, jnp.iinfo(jnp.int32).min
+                                 if x.dtype == jnp.int32 else -jnp.inf)
+        combine = jnp.maximum
     s = 1
     while s < b:
-        x = x + jnp.where(rows >= s, pltpu.roll(x, s, axis=0),
-                          jnp.zeros_like(x))
+        x = combine(x, jnp.where(rows >= s, pltpu.roll(x, s, axis=0),
+                                 identity))
         s *= 2
     return x
 
 
-def _cumsum_kernel(x_ref, out_ref, carry):
+def _scan_kernel(x_ref, out_ref, carry, *, op: str):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
-        carry[:, :] = jnp.zeros_like(carry)
+        if op == "add":
+            carry[:, :] = jnp.zeros_like(carry)
+        else:
+            carry[:, :] = jnp.full_like(
+                carry, jnp.iinfo(jnp.int32).min
+                if carry.dtype == jnp.int32 else -jnp.inf)
 
-    block = _cumsum_block(x_ref[0])
-    out = block + carry[:, :]
+    block = _scan_block(x_ref[0], op)
+    if op == "add":
+        out = block + carry[:, :]
+    else:
+        out = jnp.maximum(block, carry[:, :])
     out_ref[0] = out
     carry[:, :] = out[-1:, :]
 
 
-def cumsum_rows(x: jax.Array, interpret: bool = False) -> jax.Array:
-    """Inclusive cumulative sum along axis 0 of (M, C) f32, M % BLOCK == 0
-    (callers pad; trailing zero rows keep the prefix exact)."""
+def _scan_rows(x: jax.Array, op: str, interpret: bool = False) -> jax.Array:
     m, c = x.shape
     pad = (-m) % BLOCK
     if pad:
-        x = jnp.pad(x, ((0, pad), (0, 0)))
+        fill = 0 if op == "add" else (jnp.iinfo(jnp.int32).min
+                                      if x.dtype == jnp.int32 else -jnp.inf)
+        x = jnp.pad(x, ((0, pad), (0, 0)), constant_values=fill)
     mp = m + pad
     out = pl.pallas_call(
-        _cumsum_kernel,
+        functools.partial(_scan_kernel, op=op),
         grid=(mp // BLOCK,),
         in_specs=[pl.BlockSpec((1, BLOCK, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, BLOCK, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mp // BLOCK, BLOCK, c), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, c), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((mp // BLOCK, BLOCK, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((1, c), x.dtype)],
         interpret=interpret,
     )(x.reshape(mp // BLOCK, BLOCK, c))
     return out.reshape(mp, c)[:m]
+
+
+def cumsum_rows(x: jax.Array, interpret: bool = False) -> jax.Array:
+    """Inclusive cumulative sum along axis 0 of (M, C). Non-TPU backends
+    use jnp (the kernel is exercised via interpret=True in tests)."""
+    if not interpret and jax.default_backend() != "tpu":
+        return jnp.cumsum(x, axis=0)
+    return _scan_rows(x, "add", interpret)
+
+
+def cummax_rows(x: jax.Array, interpret: bool = False) -> jax.Array:
+    """Inclusive cumulative max along axis 0 of (M, C); jnp off-TPU."""
+    if not interpret and jax.default_backend() != "tpu":
+        return jax.lax.cummax(x, axis=0)
+    return _scan_rows(x, "max", interpret)

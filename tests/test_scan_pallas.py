@@ -19,3 +19,12 @@ class TestCumsumRows:
         assert out.shape == x.shape
         np.testing.assert_allclose(out, jnp.cumsum(x, axis=0), rtol=1e-5,
                                    atol=1e-4)
+
+
+class TestCummaxRows:
+    def test_matches_lax_cummax(self):
+        x = jax.random.randint(jax.random.PRNGKey(2), (2 * BLOCK + 100, 4),
+                               -1000, 1000, dtype=jnp.int32)
+        from street_gaussians_ns_tpu.ops.scan_pallas import cummax_rows
+        out = cummax_rows(x, interpret=True)
+        np.testing.assert_array_equal(out, jax.lax.cummax(x, axis=0))
