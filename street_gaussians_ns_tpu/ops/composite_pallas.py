@@ -226,7 +226,7 @@ def _fwd_kernel(ntx_ref, starts_ref, counts_ref, feat_hbm,
 
 
 def _bwd_kernel(ntx_ref, starts_ref, counts_ref, arow_ref, nbwd_ref,
-                feat_hbm, g_accum_hbm, aux_hbm,
+                feat_hbm, g_accum_hbm, aux_hbm, gpair_init_hbm,
                 gpair_hbm, buf, gbuf, ga_s, aux_s, state, sem, gsem, iosem,
                 *, nc: int):
     """Forward-replay backward. Per-tile inputs (DMA'd to VMEM), both in
@@ -513,7 +513,7 @@ def _bwd_call(feat, starts, counts, arow, nbwd, gpair_rows: int, ntx,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, 2, NFEAT, K), jnp.float32),
@@ -526,14 +526,19 @@ def _bwd_call(feat, starts, counts, arow, nbwd, gpair_rows: int, ntx,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    # gpair is zero-initialized by aliasing a zeros input (one HBM memset):
+    # the kernel only writes visited chunks, so early-exited tails stay
+    # zero without any post-hoc masking pass.
+    gpair_init = jnp.zeros((gpair_rows, NFEAT, K), jnp.float32)
     gpair = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((gpair_rows, NFEAT, K), jnp.float32),
         interpret=interpret,
+        input_output_aliases={8: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(jnp.asarray([ntx], jnp.int32), starts, counts, arow, nbwd,
-      feat, g_accum, aux)
+      feat, g_accum, aux, gpair_init)
     return gpair
 
 
@@ -612,17 +617,9 @@ def _rasterize_pallas_bwd(width, height, num_gaussians, interpret,
     gpair = _bwd_call(feat, bins.tile_start, bins.tile_count,
                       new_start // K, nchunks_bwd, cap // K, ntx, num_tiles,
                       nc, g_accum.transpose(0, 2, 1), aux, interpret)
-    # (rows, NFEAT, K) -> (P_aligned, NFEAT); zero unwritten/pad rows.
+    # (rows, NFEAT, K) -> (P_aligned, NFEAT). Unvisited chunks are zero by
+    # the aliased zero init; masked tail lanes carry zero grads already.
     gpair = gpair.transpose(0, 2, 1).reshape(-1, NFEAT)
-    slot = jnp.arange(cap, dtype=jnp.int32)
-    from .tiles import segment_broadcast
-
-    c_bits = max(int(cap).bit_length(), 1)
-    ns_b, nw_b = segment_broadcast(
-        [new_start, nchunks_bwd * K], [c_bits, c_bits],
-        jnp.where(nchunks > 0, new_start, cap), cap)
-    written = (slot - ns_b) < nw_b
-    gpair = jnp.where(written[:, None], gpair, 0.0)
 
     seg = _reduce_pair_grads(gpair, bins, num_gaussians, interpret)
     g_xys = seg[:, 0:2]
