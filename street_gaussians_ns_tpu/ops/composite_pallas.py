@@ -4,12 +4,13 @@ The production rasterizer core — the TPU replacement for gsplat's CUDA
 `rasterize_gaussians` forward/backward (SURVEY.md C-N1).
 
 Memory layout (the part that makes it a TPU kernel rather than a CUDA
-translation): the depth-sorted (gaussian, tile) pair list is re-packed so
-every tile's range is 128-aligned (ops.tiles.align_bins), and splat
-features live in HBM as (rows, 16, 128) — row r carries 128 consecutive
-pairs x 16 features [x, y, conic_a, conic_b, conic_c, opacity,
-color_0..C-1, pad]. One chunk = one row = one aligned DMA; invalid pad
-pairs carry opacity 0 and fall out via the alpha threshold.
+translation): splat features live in HBM as (rows, 16, 128) in SORTED
+pair order — row r carries 128 consecutive pairs x 16 features [x, y,
+conic_a, conic_b, conic_c, opacity, color_0..C-1, pad]. Tile ranges are
+not 128-aligned; both kernels stream them via dual-row DMA + dynamic
+lane rotation (read side: _load_chunk; write side: the backward's `pend`
+boundary carry). Invalid pairs gather a zero sentinel row and fall out
+via the alpha threshold.
 
 Compute layout: pixels on sublanes, splats on lanes — a 16x16 tile is a
 (256, 128) f32 block per chunk, so the outer differences px - x_k, the
@@ -51,7 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .rasterize_ref import ALPHA_CLAMP, ALPHA_THRESH, T_EPS
-from .tiles import TileBins, _owner_by_scatter, align_bins, aligned_src
+from .tiles import TileBins
 
 TILE = 16
 PIX = TILE * TILE          # 256 pixels per tile
@@ -68,18 +69,6 @@ def _cumprod_lanes(x):
     while s < k:
         x = x * jnp.where(cols >= s, pltpu.roll(x, s, axis=1),
                           jnp.ones_like(x))
-        s *= 2
-    return x
-
-
-def _cumsum_lanes(x):
-    """Inclusive cumulative sum along the lane axis (axis 1)."""
-    k = x.shape[1]
-    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    s = 1
-    while s < k:
-        x = x + jnp.where(cols >= s, pltpu.roll(x, s, axis=1),
-                          jnp.zeros_like(x))
         s *= 2
     return x
 
@@ -116,18 +105,25 @@ def _composite_chunk_masks(T_in, done_in, alpha, skip):
     """gsplat-semantics masks, splats along lanes. T_in/done_in (PIX, 1).
 
     Returns (contributes, a_c, T_before, T_out, done_out); mirror of
-    ops.composite_chunked.composite_chunk."""
+    ops.composite_chunked.composite_chunk.
+
+    One cumprod chain only: T_naive is non-increasing along lanes, so the
+    terminate-before-accumulate test `T_naive <= T_EPS` latches by itself
+    (no cumsum), the exclusive product is the inclusive one divided by
+    (1 - a_eff) (clamped alpha <= 0.99 keeps the divisor >= 0.01), and the
+    carried-out transmittance is the min of T_naive over contributing
+    lanes (post-termination alphas must not deplete it)."""
     active = (~skip) & (~jnp.broadcast_to(done_in, skip.shape))
     a_eff = jnp.where(active, alpha, 0.0)
-    T_naive = T_in * _cumprod_lanes(1.0 - a_eff)
-    term = active & (T_naive <= T_EPS)
-    done = _cumsum_lanes(term.astype(jnp.float32)) > 0.0
+    om = 1.0 - a_eff
+    T_naive = T_in * _cumprod_lanes(om)
+    done = T_naive <= T_EPS
     contributes = active & (~done)
     a_c = jnp.where(contributes, alpha, 0.0)
-    om = 1.0 - a_c
-    cum_incl = _cumprod_lanes(om)
-    T_before = T_in * (cum_incl / om)            # exclusive cumprod
-    T_out = T_in * cum_incl[:, -1:]
+    T_before = T_naive / om
+    T_out = jnp.min(jnp.where(contributes, T_naive,
+                              jnp.broadcast_to(T_in, T_naive.shape)),
+                    axis=1, keepdims=True)
     done_out = done_in | done[:, -1:]
     return contributes, a_c, T_before, T_out, done_out
 
@@ -225,25 +221,40 @@ def _fwd_kernel(ntx_ref, starts_ref, counts_ref, feat_hbm,
     ncon_ref[0] = state[:, 2:3].T.astype(jnp.int32)
 
 
-def _bwd_kernel(ntx_ref, starts_ref, counts_ref, arow_ref, nbwd_ref,
+def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
                 feat_hbm, g_accum_hbm, aux_hbm, gpair_init_hbm,
-                gpair_hbm, buf, gbuf, ga_s, aux_s, state, sem, gsem, iosem,
-                *, nc: int):
+                gpair_hbm, buf, gbuf, pend, ga_s, aux_s, state, sem, gsem,
+                iosem, *, nc: int):
     """Forward-replay backward. Per-tile inputs (DMA'd to VMEM), both in
     channel-row form so PIX stays the lane-aligned minor dim:
     g_accum (C, PIX) cotangent of premultiplied accum; aux (4, PIX) packs
     rows [g_t (cotangent of T_final), T_final, n_contrib (as f32 —
     exactly representable), gdotacc = sum_c g_accum*accum_total (the total
-    prefix the suffix term needs)]."""
+    prefix the suffix term needs)].
+
+    Output: per-pair gradients in SORTED pair order — the same
+    (rows, NFEAT, K) stream layout the forward reads. Tile ranges are not
+    K-aligned, so each chunk's (NFEAT, K) gradient block is lane-rotated
+    by phi and split across two output rows; the low part rides in the
+    `pend` scratch to the next row's writer (the grid is sequential and
+    sorted tile ranges are contiguous: the next tile's first partial row
+    IS this tile's last). The write-side mirror of _load_chunk — no
+    aligned re-pack of the gradient stream ever exists in HBM, so the
+    downstream reduction needs no aligned-position indirection."""
     t = pl.program_id(0)
     ntx = ntx_ref[0]
     start = starts_ref[t]
     count = counts_ref[t]
-    arow0 = arow_ref[t]
     row0 = start // K
     phi = start % K
+    r_end = (start + count) // K
     n_chunks = nbwd_ref[t]
     px, py = _pixel_coords(t, ntx)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (NFEAT, K), 1)
+
+    @pl.when(t == 0)
+    def _():
+        pend[:, :] = jnp.zeros((NFEAT, K), jnp.float32)
 
     def dma_in(slot, c):
         return pltpu.make_async_copy(
@@ -272,6 +283,11 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, arow_ref, nbwd_ref,
 
     kcol = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     ones_p = jnp.ones((PIX, 1), jnp.float32)
+    # Inclusive lane-cumsum as one (PIX,K)x(K,K) MXU contraction with an
+    # upper-triangular ones matrix (7 roll+add rounds on the VPU -> 1 MXU op).
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+           <= jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+           ).astype(jnp.float32)
 
     # Loop state in scratch (see _fwd_kernel): [T, done, prefix_u].
     state[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
@@ -279,7 +295,7 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, arow_ref, nbwd_ref,
     state[:, 2:3] = jnp.zeros((PIX, 1), jnp.float32)
 
     def wait_gout(slot, c):
-        pltpu.make_async_copy(gbuf.at[slot], gpair_hbm.at[arow0 + c],
+        pltpu.make_async_copy(gbuf.at[slot], gpair_hbm.at[row0 + c],
                               gsem.at[slot]).wait()
 
     def cond(carry):
@@ -324,7 +340,10 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, arow_ref, nbwd_ref,
             g_accum_r, colors, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         u = gdotc * w
-        gS = gdotacc - prefix_u - _cumsum_lanes(u)
+        cum_u = jax.lax.dot_general(
+            u, tri, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        gS = gdotacc - prefix_u - cum_u
         om = 1.0 - a_c
         dL_da = jnp.where(contributes,
                           gdotc * T_before - gS / om - gT * tfin / om, 0.0)
@@ -352,13 +371,28 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, arow_ref, nbwd_ref,
             colsum(gx_px), colsum(gy_px), colsum(ga_px), colsum(gb_px),
             colsum(gc_px), colsum(g_op_px), g_color,
             jnp.zeros((NFEAT - 6 - nc, K), jnp.float32)], axis=0)
-        gbuf[slot] = gout
-        pltpu.make_async_copy(gbuf.at[slot], gpair_hbm.at[arow0 + c],
-                              gsem.at[slot]).start()
+        # Rotate into output-row alignment and merge the carried low part.
+        # Lanes past the tile's count carry zero gradients (their pairs
+        # are skip-masked above), so the hold/spill stays exact.
+        rotated = pltpu.roll(gout, phi, axis=1)
+        row_full = jnp.where(lane >= phi, rotated, pend[:, :])
+
+        @pl.when(row0 + c < r_end)
+        def _():
+            gbuf[slot] = row_full
+            pltpu.make_async_copy(gbuf.at[slot], gpair_hbm.at[row0 + c],
+                                  gsem.at[slot]).start()
+            pend[:, :] = jnp.where(lane < phi, rotated, 0.0)
+
+        @pl.when(row0 + c >= r_end)
+        def _():
+            # Only the tile's final chunk can land here: its row is the
+            # shared boundary row r_end — hold it for the next tile.
+            pend[:, :] = row_full
 
         state[:, 0:1] = T_out
         state[:, 1:2] = done_out.astype(jnp.float32)
-        state[:, 2:3] = prefix_u + jnp.sum(u, axis=1, keepdims=True)
+        state[:, 2:3] = prefix_u + cum_u[:, -1:]
         return c + 1, jnp.all(done_out)
 
     c_end, _ = jax.lax.while_loop(cond, body,
@@ -373,12 +407,36 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, arow_ref, nbwd_ref,
     def _():
         wait_gout(c_end % 2, c_end - 2)
 
-    @pl.when(c_end >= 1)
+    # The final chunk only started a DMA if its row is before the tile's
+    # boundary row (the hold case keeps it in `pend` instead).
+    @pl.when((c_end >= 1) & (row0 + c_end - 1 < r_end))
     def _():
         wait_gout((c_end - 1) % 2, c_end - 1)
-    # Chunks beyond c_end are never visited: the wrapper passes chunk
-    # counts derived from n_contrib (no pair past it contributes) and
-    # zeroes the unwritten rows with one vectorized mask outside.
+
+    # Early exit (c_end chunks of n_chunks, or n_chunks trimmed by
+    # n_contrib) leaves pairs with zero gradients up to the tile's end:
+    # rows strictly between row0+c_end and r_end stay zero via the
+    # aliased zero-init; the carried partial row is flushed here and the
+    # carry reset for the boundary row (its lanes are zero-grad too).
+    last_row = row0 + c_end
+
+    @pl.when(last_row < r_end)
+    def _():
+        gbuf[0] = pend[:, :]
+        cp = pltpu.make_async_copy(gbuf.at[0], gpair_hbm.at[last_row],
+                                   gsem.at[0])
+        cp.start()
+        cp.wait()
+        pend[:, :] = jnp.zeros((NFEAT, K), jnp.float32)
+
+    # Last tile: flush the boundary-row carry (row num_pairs // K).
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        gbuf[1] = pend[:, :]
+        cp = pltpu.make_async_copy(gbuf.at[1], gpair_hbm.at[r_end],
+                                   gsem.at[1])
+        cp.start()
+        cp.wait()
 
 
 def _build_feat(xys, conics, colors, opacities, bins: TileBins):
@@ -395,6 +453,8 @@ def _build_feat(xys, conics, colors, opacities, bins: TileBins):
     n_pairs = bins.gauss_idx.shape[0]
     n = xys.shape[0]
     assert n_pairs % K == 0
+    # Row N is an all-zero sentinel: overflow-dropped / invalid pairs
+    # gather it and render as alpha 0 (saves a post-gather masking pass).
     table = jnp.concatenate([
         xys,                                         # 0:2
         conics,                                      # 2:5
@@ -402,73 +462,65 @@ def _build_feat(xys, conics, colors, opacities, bins: TileBins):
         colors.astype(jnp.float32),                  # 6:6+nc
         jnp.zeros((n, NFEAT - 6 - nc), jnp.float32),
     ], axis=-1)                                      # (N, NFEAT)
-    rows = table[bins.gauss_idx]                     # (P, NFEAT)
-    # Overflow-dropped / sentinel pairs render as alpha 0.
-    rows = rows.at[:, 5].set(jnp.where(bins.pair_valid, rows[:, 5], 0.0))
+    table = jnp.concatenate([table, jnp.zeros((1, NFEAT), jnp.float32)])
+    idx = jnp.where(bins.pair_valid, bins.gauss_idx, n)
+    rows = table[idx]                                # (P, NFEAT)
     feat = rows.reshape(n_pairs // K, K, NFEAT).transpose(0, 2, 1)
     return jnp.concatenate(
         [feat, jnp.zeros((1, NFEAT, K), jnp.float32)], axis=0)
 
 
-def _reduce_pair_grads(gpair_rows: jax.Array, bins: TileBins,
+def _reduce_pair_grads(gpair: jax.Array, bins: TileBins,
                        num_gaussians: int,
                        interpret: bool = False) -> jax.Array:
-    """Per-pair gradients (aligned order) -> per-gaussian sums, without a
-    giant scatter-add (XLA's segment_sum over millions of random ids is a
-    ~1s serialization on TPU). Pipeline, all gathers + one cumsum:
+    """Per-pair gradients (sorted pair order, (rows+1, NFEAT, K)) ->
+    per-gaussian (N, NFEAT) sums, without a giant scatter-add (XLA
+    scatter costs ~7.4 ns/element on v5e: a (4.45M, 16) row scatter-add
+    alone would be ~500 ms). Pipeline:
 
-      1. invert the tile sort: a small unique-index int32 scatter maps
-         expansion slot -> sorted position (the sort payload IS the
-         forward permutation),
-      2. gather pair grads into EXPANSION order, where every gaussian's
-         pairs are contiguous (gaussian-major pair enumeration),
-      3. exclusive-prefix cumsum + two boundary gathers = per-depth-rank
-         sums (reduceat), and one (N,)-sized unique scatter maps ranks
-         back to original gaussian indices.
+      1. ONE stable multi-payload sort by expansion slot carries the 16
+         gradient columns back to EXPANSION order, where every gaussian's
+         pairs are contiguous (gaussian-major pair enumeration). The
+         row-chunk layout slices into contiguous (max_pairs,) columns for
+         free, and the sort replaces the old inverse-permutation scatter
+         + two per-pair gathers at ~2.5x less wall time.
+      2. exclusive-prefix cumsum (Pallas one-pass block scan) + ONE
+         boundary gather = per-depth-rank sums: runs are contiguous
+         (starts = exclusive cumsum), so lo_r = hi_{r-1} is a shift, not
+         a second gather.
+      3. rank -> original gaussian order as int32 scatter + row gather
+         (5x cheaper than the (N, 16) row-scatter form).
     """
     max_pairs = bins.exp_slot.shape[0]
-    cap = gpair_rows.shape[0]
-    num_tiles = bins.tile_start.shape[0]
+    # inv = argsort(exp_slot): position e gets the sorted position whose
+    # expansion slot is e (exp_slot values are distinct in [0, num_pairs)
+    # + sentinel max_pairs tails). A 17-operand payload sort would avoid
+    # the row gather below but XLA:TPU materializes every 1D sort operand
+    # at enormous padding (OOM at 4.45M pairs); argsort + one row gather
+    # stays at two array-sized buffers.
+    _, inv = jax.lax.sort(
+        (bins.exp_slot, jnp.arange(max_pairs, dtype=jnp.int32)),
+        num_keys=1, is_stable=True)
+    flat = gpair.reshape(-1, NFEAT, K).transpose(0, 2, 1).reshape(
+        -1, NFEAT)[:max_pairs]
+    # Invalid/sentinel rows were never written by the kernel and stay
+    # zero, so no validity masking is needed after the permute.
+    rows = flat[inv]                                       # (MP, NFEAT)
 
-    # 1. sorted position of each expansion slot.
-    inv = jnp.zeros((max_pairs,), jnp.int32).at[bins.exp_slot].set(
-        jnp.arange(max_pairs, dtype=jnp.int32), mode="drop",
-        unique_indices=True)
-    # sorted position -> aligned position: the per-tile shift
-    # new_start[t] - tile_start[t] broadcast to the tile's slots via
-    # packed cummax (ops.tiles.segment_broadcast), no per-slot gathers.
-    from .tiles import segment_broadcast
-
-    padded = ((bins.tile_count + K - 1) // K) * K
-    new_start = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                 jnp.cumsum(padded)[:-1].astype(jnp.int32)])
-    start_sent = jnp.where(bins.tile_count > 0, bins.tile_start, max_pairs)
-    c_bits = max(int(cap).bit_length(), 1)
-    ns_b, ts_b = segment_broadcast(
-        [new_start, bins.tile_start], [c_bits, c_bits], start_sent,
-        max_pairs)
-    a_pos = ns_b + (jnp.arange(max_pairs, dtype=jnp.int32) - ts_b)
-    exp_to_aligned = a_pos[inv]                            # (max_pairs,)
-
-    # 2. grads in expansion order (invalid expansion slots -> zero rows).
-    e_valid = (jnp.arange(max_pairs) <
-               jnp.minimum(bins.num_pairs, max_pairs))
-    exp_rows = gpair_rows[jnp.clip(exp_to_aligned, 0, cap - 1)]
-    exp_rows = jnp.where(e_valid[:, None], exp_rows, 0.0)
-
-    # 3. reduceat via prefix sums over contiguous per-rank runs (Pallas
-    # one-pass block scan; XLA cumsum at this size is ~log(n) full passes).
     from .scan_pallas import cumsum_rows
 
-    prefix = cumsum_rows(exp_rows, interpret=interpret)
+    prefix = cumsum_rows(rows, interpret=interpret)
     starts = bins.exp_starts
     ends = jnp.clip(starts + bins.exp_counts, 0, max_pairs)
-    hi = prefix[jnp.clip(ends - 1, 0, max_pairs - 1)]
-    lo = jnp.where((starts > 0)[:, None],
-                   prefix[jnp.clip(starts - 1, 0, max_pairs - 1)], 0.0)
+    hi = jnp.where((ends > 0)[:, None],
+                   prefix[jnp.clip(ends - 1, 0, max_pairs - 1)], 0.0)
+    lo = jnp.concatenate([jnp.zeros((1, hi.shape[-1]), hi.dtype), hi[:-1]])
     rank_sums = jnp.where((bins.exp_counts > 0)[:, None], hi - lo, 0.0)
-    out = jnp.zeros((num_gaussians, gpair_rows.shape[-1]), jnp.float32)
-    return out.at[bins.depth_order].set(rank_sums, unique_indices=True)
+    inv_rank = jnp.zeros((num_gaussians,), jnp.int32).at[
+        bins.depth_order].set(
+            jnp.arange(num_gaussians, dtype=jnp.int32),
+            unique_indices=True)
+    return rank_sums[inv_rank]
 
 
 def _fwd_call(feat, starts, counts, ntx, num_tiles: int, nc: int,
@@ -506,18 +558,19 @@ def _fwd_call(feat, starts, counts, ntx, num_tiles: int, nc: int,
     return accum.transpose(0, 2, 1), tfin[:, 0, :], ncon[:, 0, :]
 
 
-def _bwd_call(feat, starts, counts, arow, nbwd, gpair_rows: int, ntx,
+def _bwd_call(feat, starts, counts, nbwd, gpair_rows: int, ntx,
               num_tiles: int, nc: int, g_accum, aux,
               interpret: bool = False):
     kernel = functools.partial(_bwd_kernel, nc=nc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=4,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, 2, NFEAT, K), jnp.float32),
             pltpu.VMEM((2, NFEAT, K), jnp.float32),
+            pltpu.VMEM((NFEAT, K), jnp.float32),
             pltpu.VMEM((nc, PIX), jnp.float32),
             pltpu.VMEM((4, PIX), jnp.float32),
             pltpu.VMEM((PIX, 8), jnp.float32),
@@ -527,7 +580,7 @@ def _bwd_call(feat, starts, counts, arow, nbwd, gpair_rows: int, ntx,
         ],
     )
     # gpair is zero-initialized by aliasing a zeros input (one HBM memset):
-    # the kernel only writes visited chunks, so early-exited tails stay
+    # the kernel only writes visited rows, so early-exited gaps stay
     # zero without any post-hoc masking pass.
     gpair_init = jnp.zeros((gpair_rows, NFEAT, K), jnp.float32)
     gpair = pl.pallas_call(
@@ -535,9 +588,9 @@ def _bwd_call(feat, starts, counts, arow, nbwd, gpair_rows: int, ntx,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((gpair_rows, NFEAT, K), jnp.float32),
         interpret=interpret,
-        input_output_aliases={8: 0},
+        input_output_aliases={7: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(jnp.asarray([ntx], jnp.int32), starts, counts, arow, nbwd,
+    )(jnp.asarray([ntx], jnp.int32), starts, counts, nbwd,
       feat, g_accum, aux, gpair_init)
     return gpair
 
@@ -588,10 +641,6 @@ def _rasterize_pallas_bwd(width, height, num_gaussians, interpret,
     num_tiles = ntx * nty
     nc = accum.shape[-1]
     max_pairs = bins.gauss_idx.shape[0]
-    # Aligned output layout for the per-pair grads (collision-free rows per
-    # (tile, chunk); the write-side analog of align_bins).
-    new_start, padded = align_bins(bins, K)
-    cap = max_pairs + num_tiles * K
 
     def to_tiles(img, c):
         pad_h = nty * TILE - height
@@ -610,16 +659,13 @@ def _rasterize_pallas_bwd(width, height, num_gaussians, interpret,
 
     # The backward only needs chunks up to the last contributing pair
     # (everything behind it has zero gradient); n_contrib bounds that.
-    nchunks = padded // K
     nchunks_bwd = jnp.minimum(
-        nchunks, (jnp.max(ncon, axis=1) + K - 1) // K).astype(jnp.int32)
+        (bins.tile_count + K - 1) // K,
+        (jnp.max(ncon, axis=1) + K - 1) // K).astype(jnp.int32)
 
     gpair = _bwd_call(feat, bins.tile_start, bins.tile_count,
-                      new_start // K, nchunks_bwd, cap // K, ntx, num_tiles,
+                      nchunks_bwd, max_pairs // K + 1, ntx, num_tiles,
                       nc, g_accum.transpose(0, 2, 1), aux, interpret)
-    # (rows, NFEAT, K) -> (P_aligned, NFEAT). Unvisited chunks are zero by
-    # the aliased zero init; masked tail lanes carry zero grads already.
-    gpair = gpair.transpose(0, 2, 1).reshape(-1, NFEAT)
 
     seg = _reduce_pair_grads(gpair, bins, num_gaussians, interpret)
     g_xys = seg[:, 0:2]

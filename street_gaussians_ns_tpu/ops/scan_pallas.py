@@ -21,6 +21,86 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK = 2048
+FLAT_ROWS = 512                  # sublanes per flat-scan block
+FLAT_BLOCK = FLAT_ROWS * 128     # elements per flat-scan block
+
+
+def _flat_identity(dtype, op):
+    if op == "add":
+        return 0
+    return jnp.iinfo(jnp.int32).min if dtype == jnp.int32 else -jnp.inf
+
+
+def _flat_scan_kernel(x_ref, out_ref, carry, *, op: str):
+    """One (FLAT_ROWS, 128) block of a flat scan over row-major elements:
+    lane log-scan, then a sublane log-scan of the lane tails broadcast back
+    exclusively, then the cross-block carry (scratch persists across the
+    sequential grid). ~16 vector ops per block vs. the 2-wide-lane layout
+    of the row-wise kernel below (this is the one to use for (M,) data)."""
+    i = pl.program_id(0)
+    x = x_ref[0]
+    ident = _flat_identity(x.dtype, op)
+    combine = jnp.add if op == "add" else jnp.maximum
+
+    @pl.when(i == 0)
+    def _():
+        carry[:, :] = jnp.full_like(carry, ident)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    s = 1
+    while s < 128:
+        x = combine(x, jnp.where(cols >= s, pltpu.roll(x, s, axis=1),
+                                 ident))
+        s *= 2
+    # Scan the per-row tails down the sublanes, exclusively.
+    t = x[:, 127:128]                                   # (R, 1) inclusive
+    rows = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+    s = 1
+    while s < FLAT_ROWS:
+        t = combine(t, jnp.where(rows >= s, pltpu.roll(t, s, axis=0),
+                                 ident))
+        s *= 2
+    excl = jnp.where(rows >= 1, pltpu.roll(t, 1, axis=0),
+                     jnp.full_like(t, ident))
+    x = combine(x, excl)
+    x = combine(x, carry[:, :])
+    out_ref[0] = x
+    carry[:, :] = x[-1:, 127:128]
+
+
+def _scan_flat(x: jax.Array, op: str, interpret: bool = False) -> jax.Array:
+    """Inclusive scan over a flat (M,) array, one pass at HBM speed."""
+    (m,) = x.shape
+    pad = (-m) % FLAT_BLOCK
+    if pad:
+        x = jnp.pad(x, (0, pad), constant_values=_flat_identity(x.dtype, op))
+    nb = (m + pad) // FLAT_BLOCK
+    out = pl.pallas_call(
+        functools.partial(_flat_scan_kernel, op=op),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((1, FLAT_ROWS, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, FLAT_ROWS, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, FLAT_ROWS, 128), x.dtype),
+        scratch_shapes=[pltpu.VMEM((1, 1), x.dtype)],
+        interpret=interpret,
+    )(x.reshape(nb, FLAT_ROWS, 128))
+    return out.reshape(-1)[:m]
+
+
+def cumsum_flat(x: jax.Array, interpret: bool = False) -> jax.Array:
+    """Inclusive cumsum of a flat (M,) array; jnp off-TPU."""
+    if not interpret and jax.default_backend() != "tpu":
+        return jnp.cumsum(x)
+    return _scan_flat(x, "add", interpret)
+
+
+def cummax_flat(x: jax.Array, interpret: bool = False) -> jax.Array:
+    """Inclusive cummax of a flat (M,) array; jnp off-TPU."""
+    if not interpret and jax.default_backend() != "tpu":
+        return jax.lax.cummax(x, axis=0)
+    return _scan_flat(x, "max", interpret)
 
 
 def _scan_block(x, op):

@@ -15,8 +15,8 @@ fixed-shape and jit-safe, and engineered around what is fast on TPU:
     sort — stability preserves the within-tile depth order established by
     the expansion (exactly gsplat's (tile, depth) radix order);
   * per-tile [start, end) ranges come from a small (T,)-query searchsorted;
-  * align_bins re-packs ranges to 128-slot alignment for the Pallas DMA
-    with a direct position scatter (no per-slot search).
+    the Pallas kernels stream the unaligned ranges directly (dual-row DMA
+    + lane rotation), so no aligned re-pack ever exists.
 
 The resulting order matches the oracle's global stable depth sort per tile
 bit-for-bit (ties broken by pre-sort index).
@@ -54,42 +54,26 @@ class TileBins:
 
 
 def segment_broadcast(values, bits, starts: jax.Array, capacity: int):
-    """Broadcast per-run non-negative int values to every slot of
-    contiguous runs WITHOUT a per-slot gather (XLA:TPU random gathers cost
-    ~30 ns/element; one unique row-scatter + one vectorized cummax pass
-    runs at memory speed).
+    """Broadcast per-run values to every slot of contiguous runs.
 
-    values: list of (n,) int32 per-run arrays; bits: list of their widths;
-    starts: (n,) slot index of each run's first slot (sentinel >= capacity
-    for empty runs — their values never land). Each int32 column packs
-    (run-rank, value-chunk) so the per-column cumulative max propagates
-    the value of the LAST run started at or before the slot; values wider
-    than the payload budget span several columns. Returns the broadcasted
-    (capacity,) arrays. Slots before the first run get garbage — callers
-    mask by validity.
-    """
-    n = starts.shape[0]
-    rank_bits = max(int(max(n - 1, 1)).bit_length(), 1)
-    payload = 30 - rank_bits
-    assert payload >= 1, "too many runs for packed segment_broadcast"
-    ranks = jnp.arange(n, dtype=jnp.int32)
-    vmax = jnp.int32(1 << payload)
+    values: list of (n,) per-run arrays (any dtype); bits: kept for API
+    compatibility, unused; starts: (n,) slot index of each run's first
+    slot (sentinel >= capacity for empty runs — their values never land).
+    Returns the broadcasted (capacity,) arrays. Slots before the first
+    run get garbage — callers mask by validity.
 
-    cols = []
-    layout = []  # (value index, shift)
-    for vi, (v, b) in enumerate(zip(values, bits)):
-        for shift in range(0, b, payload):
-            cols.append(ranks * vmax + ((v >> shift) & (vmax - 1)))
-            layout.append((vi, shift))
-    packed = jnp.stack(cols, axis=-1)                        # (n, C)
-    buf = jnp.full((capacity, len(cols)), -1, jnp.int32)
-    buf = buf.at[starts].set(packed, mode="drop", unique_indices=True)
-    prop = jax.lax.cummax(buf, axis=0)                       # (capacity, C)
-
-    outs = [jnp.zeros((capacity,), jnp.int32) for _ in values]
-    for ci, (vi, shift) in enumerate(layout):
-        outs[vi] = outs[vi] | ((prop[:, ci] & (vmax - 1)) << shift)
-    return outs
+    Cost model (measured on v5e at 4.45M slots): XLA scatter is
+    ~7.4 ns/ELEMENT, so one int32 owner-mark scatter + a single-pass
+    Pallas cummax + one (capacity,)-row gather of the stacked value table
+    beats the old scheme (pack all values into C int32 columns, scatter C
+    columns, XLA log-pass cummax over (capacity, C)) by ~3x."""
+    owner = _owner_by_scatter(starts, capacity, starts.shape[0])
+    owner = jnp.clip(owner, 0, starts.shape[0] - 1)
+    if len(values) == 1:
+        return [values[0][owner]]
+    table = jnp.stack([v.astype(jnp.int32) for v in values], axis=-1)
+    rows = table[owner]                                      # (capacity, C)
+    return [rows[:, i] for i in range(len(values))]
 
 
 def _owner_by_scatter(starts: jax.Array, capacity: int, n: int) -> jax.Array:
@@ -99,14 +83,16 @@ def _owner_by_scatter(starts: jax.Array, capacity: int, n: int) -> jax.Array:
 
     scatter-SET with unique indices + a cumulative max: XLA:TPU lowers
     non-unique scatter-ADD to a serial update loop (hundreds of ms at
-    millions of slots), while unique set-scatter and associative scans
+    millions of slots), while unique set-scatter and single-pass scans
     stay vectorized. Marking each run's start with its FULL index also
     keeps indices correct when zero-length runs precede (a compact
     counting scheme would mis-index the full arrays)."""
+    from .scan_pallas import cummax_flat
+
     mark = jnp.full((capacity,), -1, jnp.int32)
     mark = mark.at[starts].set(jnp.arange(n, dtype=jnp.int32), mode="drop",
                                unique_indices=True)
-    return jax.lax.cummax(mark)
+    return cummax_flat(mark)
 
 
 def bin_gaussians(
@@ -136,8 +122,8 @@ def bin_gaussians(
     slot = jnp.arange(max_pairs, dtype=jnp.int32)
     valid = slot < total
 
-    # Per-run constants broadcast to slots via packed cummax (no per-slot
-    # gathers): the sorted-gaussian original index, the run start, the
+    # Per-run constants broadcast to slots (owner cummax + one row
+    # gather): the sorted-gaussian original index, the run start, the
     # box's base tile id and width.
     box_s = proj.tile_box[order]                             # (N, 4) gather
     b0 = box_s[:, 2] * ntx + box_s[:, 0]                     # base tile id
@@ -156,12 +142,13 @@ def bin_gaussians(
     tile_id = jnp.where(valid, tile_id, num_tiles)           # sentinel last
 
     # Single-key stable sort: preserves depth order within each tile. The
-    # payload is the expansion slot; gauss ids are recovered by gather
-    # (and the slot doubles as the sort permutation for the backward).
-    tile_sorted, slot_sorted = jax.lax.sort((tile_id, slot), num_keys=1,
-                                            is_stable=True)
+    # payloads are the expansion slot (which doubles as the sort
+    # permutation for the backward) and the gaussian index — carrying g
+    # through the sort is ~2x cheaper than recovering it with a per-pair
+    # gather afterwards.
+    tile_sorted, slot_sorted, gauss_sorted = jax.lax.sort(
+        (tile_id, slot, g), num_keys=1, is_stable=True)
     pair_valid = tile_sorted < num_tiles
-    gauss_sorted = g[slot_sorted]
 
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(tile_sorted, tids, side="left").astype(
@@ -182,42 +169,3 @@ def bin_gaussians(
         num_tiles_x=ntx,
         num_tiles_y=nty,
     )
-
-
-def align_bins(bins: TileBins, align: int):
-    """Aligned per-tile ranges: every tile's range starts at a multiple of
-    `align` and spans a multiple of `align` slots (the Pallas kernel DMAs
-    `align`-pair rows from HBM; Mosaic requires lane-tiling-aligned
-    slices). Returns ((T,) aligned starts, (T,) aligned spans) — the
-    re-packed pair data itself is never materialized; consumers gather via
-    `aligned_src`. Aligned capacity = max_pairs + num_tiles*align (static).
-    """
-    counts = bins.tile_count
-    padded = ((counts + align - 1) // align) * align          # (T,)
-    new_start = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                 jnp.cumsum(padded)[:-1].astype(jnp.int32)])
-    return new_start, padded
-
-
-def aligned_src(bins: TileBins, new_start: jax.Array, padded: jax.Array,
-                align: int):
-    """Source (pre-alignment) pair index + validity for each aligned slot.
-
-    One fused gather pass (align_bins only produces the (T,)-sized range
-    arrays; consumers gather straight from the original sorted pair list —
-    materializing a re-packed copy costs two full HBM round trips)."""
-    num_tiles = bins.tile_start.shape[0]
-    max_pairs = bins.gauss_idx.shape[0]
-    cap = max_pairs + num_tiles * align
-
-    slot = jnp.arange(cap, dtype=jnp.int32)
-    start_sent = jnp.where(padded > 0, new_start, cap)
-    c_bits = max(int(cap).bit_length(), 1)
-    ns_b, ts_b, cnt_b = segment_broadcast(
-        [new_start, bins.tile_start, bins.tile_count],
-        [c_bits, c_bits, c_bits], start_sent, cap)
-    local = slot - ns_b
-    in_tile = local < cnt_b
-    src = jnp.clip(ts_b + local, 0, max_pairs - 1)
-    valid = in_tile & bins.pair_valid[src]
-    return src, valid
