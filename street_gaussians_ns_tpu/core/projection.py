@@ -84,6 +84,64 @@ def _cov3d_components(scales, quats):
     return c00, c01, c02, c11, c12, c22
 
 
+def ellipse_row_xrange(conic, xys, ylo, yhi):
+    """Pixel-x extent of the 3-sigma ellipse within the pixel-y band
+    [ylo, yhi] — the geometry shared by row-adaptive tile binning
+    (ops.tiles.bin_gaussians) and the oracle's per-pixel coverage test
+    (ops.rasterize_ref), so the two enumerate IDENTICAL (gaussian, tile)
+    pairs.
+
+    The 3-sigma contour is a*dx^2 + 2b*dx*dy + c*dy^2 = 9 (conic packs
+    (a, b, c), sigma = Q/2). At fixed dy the x-slice is
+    (-b*dy +- sqrt(9a - det*dy^2)) / a; over a band, the upper envelope
+    is concave with its max at dy* = -3b / sqrt(det*c) (where it reaches
+    the ellipse's global x-extent 3*sqrt(c/det)), so the band maximum is
+    the envelope at dy* clamped into the band; the lower envelope is the
+    mirror image. conic (..., 3), xys (..., 2), ylo/yhi broadcastable.
+    Returns (x_lo, x_hi, valid): absolute pixel-x bounds and whether the
+    band intersects the ellipse's y-extent at all.
+    """
+    a = jnp.maximum(conic[..., 0], 1e-12)
+    b = conic[..., 1]
+    c = jnp.maximum(conic[..., 2], 1e-12)
+    cx_, cy_ = xys[..., 0], xys[..., 1]
+    det = jnp.maximum(a * c - b * b, 1e-12)
+    dym = jnp.sqrt(9.0 * a / det)
+    dlo = jnp.clip(ylo - cy_, -dym, dym)
+    dhi = jnp.clip(yhi - cy_, -dym, dym)
+    valid = (ylo - cy_ <= dym) & (yhi - cy_ >= -dym)
+    dy_v = -3.0 * b / jnp.sqrt(det * c)
+
+    def slice_x(dy, sign):
+        s = jnp.sqrt(jnp.maximum(9.0 * a - det * dy * dy, 0.0))
+        return (-b * dy + sign * s) / a
+
+    x_hi = cx_ + slice_x(jnp.clip(dy_v, dlo, dhi), 1.0)
+    x_lo = cx_ + slice_x(jnp.clip(-dy_v, dlo, dhi), -1.0)
+    return x_lo, x_hi, valid
+
+
+def row_tile_range(conic, xys, tile_box, ty, tile_size: int):
+    """Tile-column range [x0, x1) that the 3-sigma ellipse covers within
+    tile row `ty`, clipped to the gaussian's binned tile box. All args
+    broadcast elementwise; returns int32 (x0, x1) with x1 == x0 where the
+    row misses the ellipse or the box. THE shared coverage predicate:
+    ops.tiles.bin_gaussians enumerates exactly these columns per row and
+    ops.rasterize_ref tests pixel tiles against it, so production and
+    oracle see identical (gaussian, tile) pair sets."""
+    ylo = (ty * tile_size).astype(jnp.float32)
+    x_lo, x_hi, bval = ellipse_row_xrange(conic, xys, ylo,
+                                          ylo + float(tile_size))
+    x0b = tile_box[..., 0]
+    x1b = tile_box[..., 1]
+    y0b = tile_box[..., 2]
+    y1b = tile_box[..., 3]
+    x0 = jnp.clip(jnp.floor(x_lo / tile_size).astype(jnp.int32), x0b, x1b)
+    x1 = jnp.clip(jnp.floor(x_hi / tile_size).astype(jnp.int32) + 1, x0, x1b)
+    in_row = bval & (ty >= y0b) & (ty < y1b)
+    return x0, jnp.where(in_row, x1, x0)
+
+
 def project(
     means: jax.Array,
     scales: jax.Array,

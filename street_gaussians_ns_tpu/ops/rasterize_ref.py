@@ -14,8 +14,9 @@ v0.1 compositing semantics used by the reference plugin
     out   += color * alpha * T;  T = next_T
   final: out += T * background;  alpha_out = 1 - T
 
-A splat contributes only to pixels inside its binned tile box, matching the
-tile-based visibility of the production path exactly.
+A splat contributes only to pixels whose tile lies in its row-adaptive
+ellipse coverage (core.projection.row_tile_range), matching the
+tile-based visibility of the production binning exactly.
 
 Differentiable end-to-end via lax.scan + where-masking (the masks reproduce
 the skip/termination rules, so autodiff grads match the hand-derived
@@ -25,6 +26,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from ..core.projection import row_tile_range
 
 ALPHA_THRESH = 1.0 / 255.0
 ALPHA_CLAMP = 0.999
@@ -73,9 +76,14 @@ def rasterize_reference(
         dy = xy[1] - py
         sigma = 0.5 * (conic[0] * dx * dx + conic[2] * dy * dy) + conic[1] * dx * dy
         alpha = jnp.minimum(ALPHA_CLAMP, opac * jnp.exp(-sigma))
-        in_box = (
-            (tile_x >= box[0]) & (tile_x < box[1]) & (tile_y >= box[2]) & (tile_y < box[3])
-        )
+        # Row-adaptive coverage: the pixel's tile must be one of the
+        # columns the 3-sigma ellipse covers in the pixel's tile row —
+        # the EXACT predicate bin_gaussians enumerates pairs with
+        # (core.projection.row_tile_range), so oracle and production see
+        # identical pair sets.
+        x0r, x1r = row_tile_range(conic[None, None, :], xy[None, None, :],
+                                  box[None, None, :], tile_y, tile_size)
+        in_box = (tile_x >= x0r) & (tile_x < x1r)
         considered = vis & in_box & (sigma >= 0.0) & (alpha >= ALPHA_THRESH) & (~done)
         next_T = T * (1.0 - alpha)
         terminate = considered & (next_T <= T_EPS)

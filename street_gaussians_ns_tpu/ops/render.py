@@ -40,6 +40,8 @@ class RenderConfig:
 
     tile_size: int = 16
     max_pairs: int = 2 ** 18       # capacity of the sorted (gaussian, tile) list
+    max_rowruns: Optional[int] = None  # (gaussian, tile-row) run capacity;
+    #                                    default max_pairs // 2
     max_per_tile: int = 1024       # per-tile splat budget for the portable path
     chunk: int = 32                # splats per compositing chunk
     impl: str = "chunked"          # "chunked" | "scan" | "pallas"
@@ -68,7 +70,8 @@ def rasterize(
     """Bin + composite. Returns (img (H,W,C), alpha (H,W), bins)."""
     if bins is None:
         bins = bin_gaussians(proj, camera.width, camera.height,
-                             config.tile_size, config.max_pairs)
+                             config.tile_size, config.max_pairs,
+                             config.max_rowruns)
     if config.impl == "scan":
         img, alpha = rasterize_tiles_jnp(
             proj.xys, proj.conics, colors, opacities, bins,

@@ -101,10 +101,22 @@ def bin_gaussians(
     height: int,
     tile_size: int,
     max_pairs: int,
+    max_rowruns: int | None = None,
 ) -> TileBins:
+    """Row-adaptive pair expansion: each (gaussian, tile-row) run
+    enumerates only the tile columns its 3-sigma ELLIPSE covers in that
+    row (core.projection.row_tile_range) instead of the full bounding
+    box — for diagonal anisotropic splats this sheds ~30-40% of the
+    pairs, and every downstream per-pair cost (sort, feature gather,
+    kernel chunks, gradient reduction) scales with pair count. Two-level
+    ragged expansion, both levels the same owner-scatter + flat-cummax +
+    row-gather pattern; decoding a pair inside a single row is one add
+    (the old rectangle decode needed a variable divmod)."""
     ntx = (width + tile_size - 1) // tile_size
     nty = (height + tile_size - 1) // tile_size
     num_tiles = ntx * nty
+    if max_rowruns is None:
+        max_rowruns = max_pairs // 2
 
     n = proj.depths.shape[0]
     visible = proj.num_tiles_hit > 0
@@ -114,32 +126,64 @@ def bin_gaussians(
     _, order = jax.lax.sort((depth_key, jnp.arange(n, dtype=jnp.int32)),
                             num_keys=1, is_stable=True)
 
-    counts = proj.num_tiles_hit[order].astype(jnp.int32)     # (N,) sorted
-    cum = jnp.cumsum(counts)
-    total = cum[-1] if n > 0 else jnp.int32(0)
-    starts = cum - counts
+    # One (N, 11) f32 row gather brings every per-gaussian quantity into
+    # depth order (ints are exact in f32 far beyond these ranges).
+    from ..core.projection import row_tile_range
+    from .scan_pallas import cumsum_flat
 
+    tab = jnp.concatenate([
+        proj.xys,                                    # 0:2
+        proj.conics,                                 # 2:5
+        proj.tile_box.astype(jnp.float32),           # 5:9
+        jnp.arange(n, dtype=jnp.float32)[:, None],   # 9 original index
+    ], axis=-1)
+    tab_s = tab[order]                               # (N, 10)
+    box_s = tab_s[:, 5:9].astype(jnp.int32)
+    hrows = jnp.where(visible[order], box_s[:, 3] - box_s[:, 2], 0)
+
+    # Level 1: gaussians -> (gaussian, tile-row) runs.
+    cum_r = cumsum_flat(hrows)
+    starts_r = cum_r - hrows
+    owner1 = jnp.clip(
+        _owner_by_scatter(jnp.where(hrows > 0, starts_r, max_rowruns),
+                          max_rowruns, n), 0, n - 1)
+    rr = jnp.arange(max_rowruns, dtype=jnp.int32)
+    rtab = jnp.concatenate(
+        [tab_s, starts_r.astype(jnp.float32)[:, None]], axis=-1)[owner1]
+    rstart = rtab[:, 10].astype(jnp.int32)
+    rbox = rtab[:, 5:9].astype(jnp.int32)
+    ty = rbox[:, 2] + (rr - rstart)
+    rvalid = rr < jnp.minimum(cum_r[-1] if n > 0 else jnp.int32(0),
+                              max_rowruns)
+    x0r, x1r = row_tile_range(rtab[:, 2:5], rtab[:, 0:2], rbox, ty,
+                              tile_size)
+    wr = jnp.where(rvalid, x1r - x0r, 0)
+
+    # Level 2: runs -> pairs.
+    cum2 = cumsum_flat(wr)
+    starts2 = cum2 - wr
+    total = cum2[-1] if n > 0 else jnp.int32(0)
+    owner2 = jnp.clip(
+        _owner_by_scatter(jnp.where(wr > 0, starts2, max_pairs),
+                          max_pairs, max_rowruns), 0, max_rowruns - 1)
+    rtab_i = jnp.stack([rtab[:, 9].astype(jnp.int32),
+                        ty * ntx + x0r, starts2], axis=-1)
+    ptab = rtab_i[owner2]                            # (MP, 3)
     slot = jnp.arange(max_pairs, dtype=jnp.int32)
     valid = slot < total
+    g = ptab[:, 0]
+    tile_id = jnp.where(valid, ptab[:, 1] + (slot - ptab[:, 2]), num_tiles)
 
-    # Per-run constants broadcast to slots (owner cummax + one row
-    # gather): the sorted-gaussian original index, the run start, the
-    # box's base tile id and width.
-    box_s = proj.tile_box[order]                             # (N, 4) gather
-    b0 = box_s[:, 2] * ntx + box_s[:, 0]                     # base tile id
-    bw = jnp.maximum(box_s[:, 1] - box_s[:, 0], 1)
-    start_sent = jnp.where(counts > 0, starts, max_pairs)
-    n_bits = max(int(max(n - 1, 1)).bit_length(), 1)
-    p_bits = max(int(max_pairs).bit_length(), 1)
-    t_bits = max(int(num_tiles).bit_length(), 1)
-    g_b, start_b, b0_b, w_b = segment_broadcast(
-        [order, starts, b0, bw], [n_bits, p_bits, t_bits, 8],
-        start_sent, max_pairs)
-
-    g = g_b
-    local = slot - start_b
-    tile_id = b0_b + local % w_b + (local // w_b) * ntx
-    tile_id = jnp.where(valid, tile_id, num_tiles)           # sentinel last
+    # Per-rank pair counts / starts for the gradient reduction: a rank's
+    # rowruns are contiguous, so its pair count is a cum2 difference;
+    # exp_starts is recomputed as an exclusive cumsum so empty ranks stay
+    # contiguous (the reduce's lo = shift(hi) trick needs that).
+    in_cap = (hrows > 0) & (starts_r < max_rowruns)
+    last_r = jnp.clip(starts_r + hrows - 1, 0, max_rowruns - 1)
+    count_g = jnp.where(
+        in_cap, cum2[last_r] - starts2[jnp.clip(starts_r, 0,
+                                                max_rowruns - 1)], 0)
+    exp_starts = cumsum_flat(count_g) - count_g
 
     # Single-key stable sort: preserves depth order within each tile. The
     # payloads are the expansion slot (which doubles as the sort
@@ -164,8 +208,8 @@ def bin_gaussians(
         num_pairs=total,
         exp_slot=jnp.where(pair_valid, slot_sorted, max_pairs),
         depth_order=order,
-        exp_starts=starts,
-        exp_counts=counts,
+        exp_starts=exp_starts,
+        exp_counts=count_g,
         num_tiles_x=ntx,
         num_tiles_y=nty,
     )

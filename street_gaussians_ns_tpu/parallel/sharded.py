@@ -162,7 +162,8 @@ def sharded_scene_loss(
         colors4 = jnp.concatenate([rgbs, pr.depths[:, None]], axis=-1)
 
         # --- bin (full set; replicated across model cols) -------------------
-        bins = bin_gaussians(pr, width, height, ts, render_config.max_pairs)
+        bins = bin_gaussians(pr, width, height, ts, render_config.max_pairs,
+                             render_config.max_rowruns)
         bins_pad = dataclasses.replace(
             bins,
             tile_start=_pad_to(bins.tile_start, tiles_pad),

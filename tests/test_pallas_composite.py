@@ -117,3 +117,33 @@ class TestPallasBackward:
         g = jax.grad(f)(p.xys)
         assert bool(jnp.all(jnp.isfinite(g)))
         assert float(jnp.abs(g).max()) > 0.0
+
+
+class TestGradPackBF16:
+    def test_packed_reduce_close_to_f32(self, monkeypatch):
+        """The TPU-only bf16-packed permute gather rounds per-pair grads
+        (~0.4% relative); per-gaussian sums must stay close to the f32
+        path."""
+        from street_gaussians_ns_tpu.ops import composite_pallas as cp
+
+        means, scales, quats, colors, opac, cam = make_scene(100, 11, w=48,
+                                                             h=32)
+        p, bins = project_and_bin(means, scales, quats, cam)
+        bg = jnp.zeros((4,))
+        target = jax.random.uniform(jax.random.PRNGKey(3), (32, 48, 4))
+
+        def loss(args):
+            xys, conics, cols, op = args
+            img, alpha = rasterize_tiles_pallas(
+                xys, conics, cols, op, bins, 48, 32, 16, bg, interpret=True)
+            return jnp.mean(jnp.abs(img - target)) + 0.3 * jnp.mean(alpha)
+
+        args = (p.xys, p.conics, colors, opac)
+        g_f32 = jax.grad(loss)(args)
+        monkeypatch.setattr(cp, "GRAD_PACK_BF16", "force")
+        g_pack = jax.grad(loss)(args)
+        for nm, a, b in zip(["xys", "conics", "colors", "opac"], g_pack,
+                            g_f32):
+            scale = np.maximum(np.abs(np.asarray(b)), 1e-3)
+            rel = np.abs(np.asarray(a) - np.asarray(b)) / scale
+            assert rel.max() < 2e-2, (nm, rel.max())
