@@ -496,55 +496,53 @@ def _reduce_pair_grads(gpair: jax.Array, bins: TileBins,
          (5x cheaper than the (N, 16) row-scatter form).
     """
     max_pairs = bins.exp_slot.shape[0]
-    # inv = argsort(exp_slot): position e gets the sorted position whose
-    # expansion slot is e (exp_slot values are distinct in [0, num_pairs)
-    # + sentinel max_pairs tails). A 17-operand payload sort would avoid
-    # the row gather below but XLA:TPU materializes every 1D sort operand
-    # at enormous padding (OOM at 4.45M pairs); argsort + one row gather
-    # stays at two array-sized buffers.
-    _, inv = jax.lax.sort(
-        (bins.exp_slot, jnp.arange(max_pairs, dtype=jnp.int32)),
-        num_keys=1, is_stable=True)
+    # ONE stable sort by expansion slot with the gradient columns as sort
+    # PAYLOADS brings per-pair grads back to expansion order directly
+    # (exp_slot values are distinct in [0, num_pairs) + sentinel
+    # max_pairs tails, whose rows are zero). Payload columns through
+    # lax.sort cost ~0.6 ms per operand per M pairs on v5e — the
+    # argsort + (MP, 8) row gather this replaces cost ~28 ms.
     if GRAD_PACK_BF16 and (
             jax.default_backend() == "tpu" or GRAD_PACK_BF16 == "force"):
-        # Per-pair grads ride the permute as bf16 pairs packed in int32:
-        # XLA:TPU gather cost grows with TABLE size (measured ~23 ns/row
-        # at 285 MB vs ~12 at 143 MB), so halving the row width nearly
-        # halves the dominant gather. ~0.4% relative rounding on the
-        # PER-PAIR values (sums below stay f32); TPU-only, off in tests.
+        # Grads ride as bf16 pairs packed in int32 (8 payload columns
+        # instead of 16). ~0.4% relative rounding on the PER-PAIR values
+        # (sums below stay f32); TPU-only, off in tests.
         u = jax.lax.bitcast_convert_type(
             gpair.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
         packed = ((u[:, 0::2, :] << 16) | u[:, 1::2, :]).astype(jnp.int32)
-        flat = packed.transpose(0, 2, 1).reshape(
-            -1, NFEAT // 2)[:max_pairs]
-        rp = flat[inv]                                     # (MP, 8) i32
-        hi = jax.lax.bitcast_convert_type(
-            (rp >> 16).astype(jnp.uint16), jnp.bfloat16)
-        lo = jax.lax.bitcast_convert_type(
-            rp.astype(jnp.uint16), jnp.bfloat16)
-        rows = jnp.stack([hi, lo], axis=-1).reshape(
-            max_pairs, NFEAT).astype(jnp.float32)
+        pcols = jax.lax.sort(
+            (bins.exp_slot,) + tuple(packed[:, j, :].reshape(-1)[:max_pairs]
+                                     for j in range(NFEAT // 2)),
+            num_keys=1, is_stable=True)[1:]
+
+        def unpack(j):
+            col = pcols[j // 2]
+            half = (col >> 16) if j % 2 == 0 else col
+            return jax.lax.bitcast_convert_type(
+                half.astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+
+        rows_cm = jnp.stack([unpack(j) for j in range(NFEAT)])  # (16, MP)
     else:
-        flat = gpair.reshape(-1, NFEAT, K).transpose(0, 2, 1).reshape(
-            -1, NFEAT)[:max_pairs]
+        fcols = tuple(gpair[:, j, :].reshape(-1)[:max_pairs]
+                      for j in range(NFEAT))
         # Invalid/sentinel rows were never written by the kernel and stay
         # zero, so no validity masking is needed after the permute.
-        rows = flat[inv]                                   # (MP, NFEAT)
+        rows_cm = jnp.stack(jax.lax.sort((bins.exp_slot,) + fcols,
+                                         num_keys=1, is_stable=True)[1:])
 
-    from .scan_pallas import cumsum_rows
+    from .segreduce_pallas import segment_rowsum
 
-    prefix = cumsum_rows(rows, interpret=interpret)
-    starts = bins.exp_starts
-    ends = jnp.clip(starts + bins.exp_counts, 0, max_pairs)
-    hi = jnp.where((ends > 0)[:, None],
-                   prefix[jnp.clip(ends - 1, 0, max_pairs - 1)], 0.0)
-    lo = jnp.concatenate([jnp.zeros((1, hi.shape[-1]), hi.dtype), hi[:-1]])
-    rank_sums = jnp.where((bins.exp_counts > 0)[:, None], hi - lo, 0.0)
-    inv_rank = jnp.zeros((num_gaussians,), jnp.int32).at[
-        bins.depth_order].set(
-            jnp.arange(num_gaussians, dtype=jnp.int32),
-            unique_indices=True)
-    return rank_sums[inv_rank]
+    starts = jnp.clip(bins.exp_starts, 0, max_pairs)
+    ends = jnp.clip(bins.exp_starts + bins.exp_counts, 0, max_pairs)
+    rank_sums = segment_rowsum(rows_cm, starts, ends,
+                               interpret=interpret)          # (16, N)
+    # rank -> original order: depth_order is a permutation, so sorting it
+    # with the rank sums as payloads IS the inverse permutation (replaces
+    # an int scatter + (N, 16) row gather at ~40% of the cost).
+    out = jax.lax.sort(
+        (bins.depth_order,) + tuple(rank_sums[j] for j in range(NFEAT)),
+        num_keys=1, is_stable=True)
+    return jnp.stack(out[1:], axis=-1)
 
 
 def _fwd_call(feat, starts, counts, ntx, num_tiles: int, nc: int,
@@ -722,3 +720,100 @@ def rasterize_tiles_pallas(
         width, height, xys.shape[0], interpret)
     img = img + (1.0 - alpha[..., None]) * background[None, None, :]
     return img, alpha
+
+
+# ---------------------------------------------------------------------------
+# Fused bin + pack + composite (the production training path).
+# ---------------------------------------------------------------------------
+
+def _pack_feat_cols(feats, max_pairs: int):
+    """10 sorted-pair feature columns -> the (rows+1, NFEAT, K) stream the
+    kernels read (invalid pairs already hold zeros — no masking pass)."""
+    assert max_pairs % K == 0
+    cols = list(feats) + [jnp.zeros((max_pairs,), jnp.float32)
+                          for _ in range(NFEAT - len(feats))]
+    rows = jnp.stack(cols, axis=-1)                  # (MP, NFEAT)
+    feat = rows.reshape(max_pairs // K, K, NFEAT).transpose(0, 2, 1)
+    return jnp.concatenate(
+        [feat, jnp.zeros((1, NFEAT, K), jnp.float32)], axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def rasterize_pallas_fused_core(xys, conics, colors, opacities,
+                                depth_key, tile_box,
+                                width: int, height: int, max_pairs: int,
+                                max_rowruns, interpret: bool = False):
+    """Binning + feature threading + compositing under ONE custom_vjp, so
+    the payload sorts / Pallas expansions that move the differentiable
+    feature columns are never autodiffed (their transpose would be the
+    giant scatters this pipeline exists to avoid). The binning topology
+    (pair enumeration/order) is a constant of the backward; gradients
+    w.r.t. xys/conics/colors/opacities flow through the replayed
+    compositor exactly as in `rasterize_pallas_core`."""
+    out, _ = _fused_fwd(xys, conics, colors, opacities, depth_key,
+                        tile_box, width, height, max_pairs, max_rowruns,
+                        interpret)
+    return out
+
+
+def _fused_fwd(xys, conics, colors, opacities, depth_key, tile_box,
+               width, height, max_pairs, max_rowruns, interpret):
+    from .tiles import bin_and_pack
+
+    ntx = (width + TILE - 1) // TILE
+    nty = (height + TILE - 1) // TILE
+    num_tiles = ntx * nty
+    nc = colors.shape[-1]
+    bins, feats = bin_and_pack(
+        xys, conics, tile_box, depth_key, colors.astype(jnp.float32),
+        opacities, width, height, TILE, max_pairs, max_rowruns,
+        interpret=interpret)
+    feat = _pack_feat_cols(feats, max_pairs)
+    accum, tfin, ncon = _fwd_call(feat, bins.tile_start, bins.tile_count,
+                                  ntx, num_tiles, nc, interpret)
+    img = _tiles_to_image(accum, ntx, nty, width, height)
+    alpha = 1.0 - _tiles_to_image(tfin, ntx, nty, width, height)
+    residuals = (bins, feat, accum, tfin, ncon)
+    return (img, alpha, bins), residuals
+
+
+def _fused_bwd(width, height, max_pairs, max_rowruns, interpret,
+               residuals, cotangents):
+    (bins, feat, accum, tfin, ncon) = residuals
+    num_gaussians = bins.depth_order.shape[0]
+    g_img, g_alpha, _ = cotangents
+    g_xys, g_conics, g_colors, g_opac, _ = _rasterize_pallas_bwd(
+        width, height, num_gaussians, interpret,
+        (bins, feat, accum, tfin, ncon), (g_img, g_alpha))
+    return (g_xys, g_conics, g_colors, g_opac,
+            jnp.zeros((num_gaussians,), jnp.float32),
+            jnp.zeros((num_gaussians, 4), jnp.float32))
+
+
+rasterize_pallas_fused_core.defvjp(_fused_fwd, _fused_bwd)
+
+
+def rasterize_tiles_pallas_fused(
+    proj,
+    colors: jax.Array,
+    opacities: jax.Array,
+    width: int,
+    height: int,
+    tile_size: int,
+    background: jax.Array,
+    max_pairs: int,
+    max_rowruns=None,
+    interpret: bool = False,
+):
+    """Production bin+composite: returns (img, alpha, bins)."""
+    assert tile_size == TILE, "Pallas kernel is specialized to 16x16 tiles"
+    depth_key = jax.lax.stop_gradient(
+        jnp.where(proj.num_tiles_hit > 0, proj.depths, jnp.inf))
+    # tile_box rides as f32 (exact small ints) so its zero cotangent is
+    # dtype-legal; bin_and_pack re-casts to int32.
+    img, alpha, bins = rasterize_pallas_fused_core(
+        proj.xys, proj.conics, colors.astype(jnp.float32), opacities,
+        depth_key, proj.tile_box.astype(jnp.float32), width, height,
+        max_pairs, max_rowruns, interpret)
+    img = img + (1.0 - alpha[..., None]) * background[None, None, :]
+    return img, alpha, bins

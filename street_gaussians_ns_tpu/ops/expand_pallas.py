@@ -1,0 +1,149 @@
+"""Pallas TPU ragged-expansion kernel (monotone "gather" as MXU matmul).
+
+XLA:TPU gathers are the slowest primitive in the whole rasterization
+pipeline (measured on v5e: a (3.5M, 11) row gather is ~85 ms, a plain 1D
+gather of 3.5M elements from a 2M table is ~27 ms — while a 3.5M-element
+multi-payload `lax.sort` is ~8 ms). The binning's two gathers have
+*structure* XLA cannot see: they are ragged EXPANSIONS — each source row
+repeated `count` times into a contiguous run (gaussian -> tile-row runs,
+tile-row runs -> pairs). Consecutive output slots read source rows from a
+bounded window, because counts are >= 1 for every live source (a visible
+gaussian spans >= 1 tile row; nearly every enumerated tile row intersects
+the 3-sigma ellipse), so an output block of B slots touches <= B + margin
+source rows starting at a per-block base found by one small searchsorted.
+
+The kernel turns "select source column by dynamic index" into one-hot MXU
+matmuls (out = src_window_chunk @ onehot_chunk per 128-lane chunk of the
+window) — the TPU idiom for gather: the 0/1 matrix is a broadcast compare
+on the VPU (slot ids on sublanes, source lanes on lanes; run bounds
+arrive as (8k, 128) row blocks so every layout is DMA-native), and the
+matmul is exact in f32 (each output column receives exactly one 1.0
+multiply).
+
+Replaces the owner-mark scatter + flat cummax + row-gather scheme
+(ops.tiles.segment_broadcast) on the binning hot path."""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EXPAND_BLOCK = 1024      # output slots per grid step
+EXPAND_MARGIN = 128      # window slack for (rare) zero-count interior rows
+LANES = 128
+
+
+def _on_tpu(interpret: bool) -> bool:
+    return interpret or jax.default_backend() == "tpu"
+
+
+def _expand_kernel(base_ref, src_hbm, st_hbm, en_hbm, out_ref,
+                   win, st_s, en_s, sems, *, block: int, window: int,
+                   c8: int):
+    b = pl.program_id(0)
+    # base_ref holds base/128: multiplying inside the kernel lets Mosaic
+    # PROVE the dynamic DMA offsets are lane/sublane aligned.
+    br = base_ref[b]
+    base = br * LANES
+    wrows = window // LANES
+    # st/en row-block reads are rounded up to 8 sublanes (int32 tiling).
+    wr8 = (wrows + 7) // 8 * 8
+    cps = [
+        pltpu.make_async_copy(src_hbm.at[:, pl.ds(base, window)], win,
+                              sems.at[0]),
+        pltpu.make_async_copy(st_hbm.at[pl.ds(br, wr8)], st_s, sems.at[1]),
+        pltpu.make_async_copy(en_hbm.at[pl.ds(br, wr8)], en_s, sems.at[2]),
+    ]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+    s0 = b * block
+    # Slot ids on SUBLANES, window sources on LANES, one 128-lane window
+    # chunk at a time: every operand layout is native (no reshapes).
+    slot = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0) + s0
+    acc = jnp.zeros((c8, block), jnp.float32)
+    for k in range(wrows):
+        st_k = st_s[k:k + 1, :]                            # (1, 128)
+        en_k = en_s[k:k + 1, :]
+        oh = ((st_k <= slot) & (slot < en_k)).astype(jnp.float32)  # (B, 128)
+        # HIGHEST: the MXU's default bf16 passes would round the source
+        # values (~0.4% rel); with full f32 passes the select is EXACT
+        # (each output column receives exactly one 1.0 multiply).
+        acc += jax.lax.dot_general(
+            win[:, k * LANES:(k + 1) * LANES], oh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)           # (C8, B)
+    out_ref[:, :] = acc
+
+
+def expand_ragged(src: jax.Array, starts: jax.Array, ends: jax.Array,
+                  out_len: int, interpret: bool = False) -> jax.Array:
+    """Ragged repeat: out[:, s] = src[:, i] for the unique i with
+    starts[i] <= s < ends[i].
+
+    src (C, S) f32; starts/ends (S,) int32 with [starts_i, ends_i)
+    contiguous, non-overlapping, in order (ends non-decreasing — the
+    exclusive/inclusive cumsum of per-source counts). Slots covered by no
+    source (beyond the total, or under a window-margin overflow from long
+    zero-count runs) come out ZERO — callers treat zero rows as inert.
+    Returns (C, out_len) f32."""
+    c, s = src.shape
+    if not _on_tpu(interpret):
+        slot = jnp.arange(out_len, dtype=jnp.int32)
+        owner = jnp.clip(
+            jnp.searchsorted(ends, slot, side="right"), 0, s - 1)
+        hit = (starts[owner] <= slot) & (slot < ends[owner])
+        return jnp.where(hit[None, :], src[:, owner], 0.0)
+
+    block = EXPAND_BLOCK
+    # Dynamic HBM offsets must be 128-lane aligned: the per-block base is
+    # rounded DOWN to 128, and the window carries that slack on top of
+    # the zero-count-run margin.
+    window = block + EXPAND_MARGIN + LANES
+    assert window % LANES == 0
+    wrows = window // LANES
+    wr8 = (wrows + 7) // 8 * 8
+    nb = (out_len + block - 1) // block
+    pad_out = nb * block
+    c8 = (c + 7) // 8 * 8   # HBM slices need 8-aligned sublane extents
+    src_p = jnp.pad(src.astype(jnp.float32), ((0, c8 - c), (0, window)))
+    sentinel = jnp.iinfo(jnp.int32).max
+    # Run bounds as (rows, 128) lane-major blocks — the only DMA-sliceable
+    # layout for a windowed 1D int read (a (n, 1) column cannot be tiled).
+    n_pad = (s + window - 1) // LANES * LANES + wr8 * LANES
+    st_p = jnp.pad(starts.astype(jnp.int32), (0, n_pad - s),
+                   constant_values=sentinel).reshape(-1, LANES)
+    en_p = jnp.pad(ends.astype(jnp.int32), (0, n_pad - s),
+                   constant_values=sentinel).reshape(-1, LANES)
+    # First source whose range can cover the block's first slot, in units
+    # of 128 source rows (pre-divided so alignment is provable in-kernel).
+    base = jnp.clip(
+        jnp.searchsorted(
+            ends, jnp.arange(nb, dtype=jnp.int32) * block, side="right"),
+        0, s - 1).astype(jnp.int32)
+    base = base // LANES
+    out = pl.pallas_call(
+        functools.partial(_expand_kernel, block=block, window=window,
+                          c8=c8),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            out_specs=pl.BlockSpec((c8, block), lambda b, *_: (0, b),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((c8, window), jnp.float32),
+                pltpu.VMEM((wr8, LANES), jnp.int32),
+                pltpu.VMEM((wr8, LANES), jnp.int32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((c8, pad_out), jnp.float32),
+        interpret=interpret,
+    )(base, src_p, st_p, en_p)
+    return out[:c, :out_len]

@@ -68,6 +68,15 @@ def rasterize(
     bins: Optional[TileBins] = None,
 ):
     """Bin + composite. Returns (img (H,W,C), alpha (H,W), bins)."""
+    if config.impl == "pallas" and bins is None:
+        # Fused bin+pack+composite: feature columns ride the binning sorts
+        # (no per-pair gathers), all under one custom_vjp.
+        from .composite_pallas import rasterize_tiles_pallas_fused
+        img, alpha, bins = rasterize_tiles_pallas_fused(
+            proj, colors, opacities, camera.width, camera.height,
+            config.tile_size, background, config.max_pairs,
+            config.max_rowruns)
+        return img, alpha, bins
     if bins is None:
         bins = bin_gaussians(proj, camera.width, camera.height,
                              config.tile_size, config.max_pairs,

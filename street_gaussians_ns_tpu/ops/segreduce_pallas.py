@@ -1,0 +1,142 @@
+"""Pallas TPU segmented row-sum: per-segment sums of contiguous runs.
+
+The gradient reduction's core contraction: per-pair gradient rows (in
+expansion order, where every gaussian's pairs are contiguous) summed per
+depth rank. The XLA formulation (row-cumsum + boundary gather + shifted
+difference) spends ~28 ms at 3.5M pairs — almost all of it in the (N, C)
+boundary gather, TPU's slowest primitive. This kernel instead grids over
+SEGMENT blocks (aligned output, no gather anywhere): each block of 1024
+segments streams its pair-chunk span from HBM and accumulates
+`acc += chunk (C, 128) @ onehot (128pairs, 128segs)` on the MXU, with the
+one-hot built from the segment bounds by a broadcast compare (the same
+idiom as ops.expand_pallas, in the contracting direction).
+
+Precision: the MXU's default bf16 input rounding (~2^-8 relative per
+pair value) matches the bf16 packing the gradient columns already ride
+through the reordering sort, so this adds no error over the XLA path;
+accumulation is f32.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SEG_BLOCK = 1024   # segments per grid step
+LANES = 128
+
+
+def _segsum_kernel(c0_ref, nch_ref, rows_hbm, st_ref, en_ref, out_ref,
+                   buf, sem, *, c8: int):
+    b = pl.program_id(0)
+    c0 = c0_ref[b]
+    nch = nch_ref[b]
+    rrows = SEG_BLOCK // LANES
+
+    def dma(slot, j):
+        return pltpu.make_async_copy(
+            rows_hbm.at[:, pl.ds((c0 + j) * LANES, LANES)], buf.at[slot],
+            sem.at[slot])
+
+    @pl.when(nch > 0)
+    def _():
+        dma(0, 0).start()
+
+    out_ref[:, :] = jnp.zeros((c8, SEG_BLOCK), jnp.float32)
+    pos_col = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1), 0)
+
+    def body(j, _):
+        slot = j % 2
+
+        @pl.when(j + 1 < nch)
+        def _():
+            dma((j + 1) % 2, j + 1).start()
+
+        dma(slot, j).wait()
+        p0 = (c0 + j) * LANES
+        pos = pos_col + p0
+        chunk = buf[slot]                                  # (C8, 128)
+        for k in range(rrows):
+            st_k = st_ref[k:k + 1, :]                      # (1, 128)
+            en_k = en_ref[k:k + 1, :]
+            # Skip segment rows whose span misses this chunk entirely
+            # (most chunks overlap 1-2 of the 8 rows).
+            lo = jnp.min(st_k)
+            hi = jnp.max(en_k)
+
+            @pl.when((hi > p0) & (lo < p0 + LANES))
+            def _():
+                oh = ((st_k <= pos) & (pos < en_k)).astype(jnp.float32)
+                out_ref[:, k * LANES:(k + 1) * LANES] += (
+                    jax.lax.dot_general(
+                        chunk, oh,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+        return 0
+
+    jax.lax.fori_loop(0, nch, body, 0)
+
+
+def segment_rowsum(rows: jax.Array, starts: jax.Array, ends: jax.Array,
+                   interpret: bool = False) -> jax.Array:
+    """Per-segment sums: out[:, i] = sum_{p in [starts_i, ends_i)}
+    rows[:, p].
+
+    rows (C, P) f32; starts/ends (S,) int32, contiguous non-overlapping
+    ascending runs (empty segments st == en allowed, including leading/
+    trailing). Returns (C, S) f32."""
+    c, p_len = rows.shape
+    (s,) = starts.shape
+    if not (interpret or jax.default_backend() == "tpu"):
+        prefix = jnp.cumsum(rows, axis=1)
+        hi = jnp.where((ends > 0)[None, :],
+                       prefix[:, jnp.clip(ends - 1, 0, p_len - 1)], 0.0)
+        lo = jnp.where((starts > 0)[None, :],
+                       prefix[:, jnp.clip(starts - 1, 0, p_len - 1)], 0.0)
+        return jnp.where((ends > starts)[None, :], hi - lo, 0.0)
+
+    c8 = (c + 7) // 8 * 8
+    s_pad = (s + SEG_BLOCK - 1) // SEG_BLOCK * SEG_BLOCK
+    nb = s_pad // SEG_BLOCK
+    p_pad = (p_len + LANES - 1) // LANES * LANES + LANES
+    rows_p = jnp.pad(rows.astype(jnp.float32),
+                     ((0, c8 - c), (0, p_pad - p_len)))
+    # Padded segments are empty at the end of the pair range.
+    endv = jnp.full((s_pad - s,), p_len, jnp.int32)
+    st_p = jnp.concatenate([jnp.clip(starts, 0, p_len), endv])
+    en_p = jnp.concatenate([jnp.clip(ends, 0, p_len), endv])
+    st2 = st_p.reshape(-1, LANES)
+    en2 = en_p.reshape(-1, LANES)
+    blk = jnp.arange(nb, dtype=jnp.int32)
+    first = st_p[blk * SEG_BLOCK]
+    last = en_p[blk * SEG_BLOCK + SEG_BLOCK - 1]
+    c0 = first // LANES
+    nch = jnp.maximum(0, (last - c0 * LANES + LANES - 1) // LANES)
+    out = pl.pallas_call(
+        functools.partial(_segsum_kernel, c8=c8),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((SEG_BLOCK // LANES, LANES),
+                             lambda b, *_: (b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((SEG_BLOCK // LANES, LANES),
+                             lambda b, *_: (b, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((c8, SEG_BLOCK), lambda b, *_: (0, b),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, c8, LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((c8, s_pad), jnp.float32),
+        interpret=interpret,
+    )(c0, nch, rows_p, st2, en2)
+    return out[:c, :s]

@@ -95,6 +95,204 @@ def _owner_by_scatter(starts: jax.Array, capacity: int, n: int) -> jax.Array:
     return cummax_flat(mark)
 
 
+def _row_trim_counts(conics, xys, box, tile_size: int, max_h: int):
+    """Per-gaussian row trim + exact pair count, gather-free.
+
+    Bounded loop over the tile-box rows evaluating the shared coverage
+    predicate (core.projection.row_tile_range): returns (first, last,
+    count) where [first, last] are the box-relative indices of the first/
+    last row with nonzero tile-column width and count is the total
+    (gaussian, tile) pair count. The ellipse x-slices are concave/convex
+    in y, so nonzero-width rows form a CONTIGUOUS interval — trimming the
+    box to [first, last] guarantees every enumerated tile row emits >= 1
+    pair (the invariant the Pallas ragged-expansion window relies on) and
+    `count` replaces the two 1M-element 1D gathers that previously
+    recovered per-gaussian pair counts from the level-2 cumsum (~27 ms of
+    a ~220 ms step on v5e; this loop is ~2 ms of pure VPU work)."""
+    from ..core.projection import row_tile_range
+
+    y0b = box[:, 2]
+    h = box[:, 3] - box[:, 2]
+    # One broadcast (N, max_h) evaluation instead of a sequential fori:
+    # XLA fuses the whole per-(gaussian, row) computation with the three
+    # reductions into a single pass (a while loop would round-trip the
+    # carries through HBM every iteration — measured 10x slower).
+    i = jnp.arange(max_h, dtype=jnp.int32)[None, :]
+    ty = y0b[:, None] + i
+    x0, x1 = row_tile_range(conics[:, None, :], xys[:, None, :],
+                            box[:, None, :], ty, tile_size)
+    w = jnp.where(i < h[:, None], x1 - x0, 0)          # (N, max_h)
+    nz = w > 0
+    any_nz = jnp.any(nz, axis=1)
+    first = jnp.argmax(nz, axis=1).astype(jnp.int32)
+    last = (max_h - 1
+            - jnp.argmax(nz[:, ::-1], axis=1).astype(jnp.int32))
+    cnt = jnp.sum(w, axis=1)
+    minus1 = jnp.full_like(y0b, -1)
+    return (jnp.where(any_nz, first, minus1),
+            jnp.where(any_nz, last, minus1), cnt)
+
+
+def bin_and_pack(
+    xys: jax.Array,          # (N, 2) screen centers
+    conics: jax.Array,       # (N, 3)
+    tile_box: jax.Array,     # (N, 4) int32 [x0, x1, y0, y1)
+    depth_key: jax.Array,    # (N,) f32; +inf marks invisible gaussians
+    colors: jax.Array,       # (N, C<=4) per-splat colors (rgb+depth)
+    opacities: jax.Array,    # (N,)
+    width: int,
+    height: int,
+    tile_size: int,
+    max_pairs: int,
+    max_rowruns: int | None = None,
+    interpret: bool = False,
+):
+    """Fused binning + per-pair feature threading — zero row gathers.
+
+    Same pair enumeration and ordering as `bin_gaussians` (row-adaptive
+    two-level ragged expansion, single-key stable pair sort), but every
+    per-gaussian attribute RIDES the data movement instead of being
+    gathered after the fact:
+
+      * the depth sort carries all attribute columns as sort payloads
+        (payload columns through `lax.sort` cost ~1/20th of the row
+        gather they replace on v5e);
+      * both ragged expansion levels run the Pallas one-hot-matmul
+        expansion kernel (ops.expand_pallas) instead of the owner-mark
+        scatter + cummax + row-gather scheme;
+      * the (tile, depth) pair sort carries the 10 kernel feature
+        columns, so the compositor's (max_pairs, NFEAT) stream needs no
+        per-pair gather at all (the old `_build_feat` table gather was
+        ~85 ms of an ~300 ms step at 1M gaussians).
+
+    Returns (TileBins, feats) where feats is the list of 10 sorted-pair-
+    order feature columns [x, y, ca, cb, cc, op, c0..c3] (each
+    (max_pairs,) f32; invalid pairs hold zeros — the compositor's inert
+    sentinel rows)."""
+    from ..core.projection import row_tile_range
+    from .expand_pallas import expand_ragged
+    from .scan_pallas import cumsum_flat
+
+    ntx = (width + tile_size - 1) // tile_size
+    nty = (height + tile_size - 1) // tile_size
+    num_tiles = ntx * nty
+    if max_rowruns is None:
+        max_rowruns = max_pairs // 2
+
+    n = depth_key.shape[0]
+    nc = colors.shape[-1]
+    assert nc <= 4
+    tile_box = tile_box.astype(jnp.int32)
+
+    # Depth sort with every column as payload (ints ride as int32).
+    cols = (
+        jnp.arange(n, dtype=jnp.int32),               # original index
+        xys[:, 0], xys[:, 1],
+        conics[:, 0], conics[:, 1], conics[:, 2],
+        opacities.astype(jnp.float32),
+        *(colors[:, i].astype(jnp.float32) for i in range(nc)),
+        *(jnp.zeros((n,), jnp.float32) for _ in range(4 - nc)),
+        tile_box[:, 0], tile_box[:, 1],
+        tile_box[:, 2], tile_box[:, 3],
+    )
+    dk_s, idx_s, *c_s = jax.lax.sort((depth_key,) + cols, num_keys=1,
+                                     is_stable=True)
+    (x_s, y_s, ca_s, cb_s, cc_s, op_s, f0_s, f1_s, f2_s, f3_s,
+     x0_s, x1_s, y0_s, y1_s) = c_s
+
+    # Trim each box to its nonzero-width rows + exact per-gaussian pair
+    # count (gather-free; also guarantees counts >= 1 per enumerated row,
+    # the expansion kernel's window invariant).
+    box_s = jnp.stack([x0_s, x1_s, y0_s, y1_s], axis=-1)
+    first, last, count_g = _row_trim_counts(
+        jnp.stack([ca_s, cb_s, cc_s], axis=-1),
+        jnp.stack([x_s, y_s], axis=-1), box_s, tile_size, nty)
+    nz = jnp.isfinite(dk_s) & (count_g > 0)
+    y0t = jnp.where(nz, y0_s + first, 0)
+    y1t = jnp.where(nz, y0_s + last + 1, 0)
+    hrows = jnp.where(nz, y1t - y0t, 0)
+
+    # Level 1: gaussians -> (gaussian, tile-row) runs.
+    cum_r = cumsum_flat(hrows, interpret=interpret)
+    starts_r = cum_r - hrows
+    src16 = jnp.stack([
+        x_s, y_s, ca_s, cb_s, cc_s, op_s, f0_s, f1_s, f2_s, f3_s,
+        x0_s.astype(jnp.float32), x1_s.astype(jnp.float32),
+        y0t.astype(jnp.float32), y1t.astype(jnp.float32),
+        idx_s.astype(jnp.float32),
+        starts_r.astype(jnp.float32),
+    ])                                               # (16, N)
+    r = expand_ragged(src16, starts_r, cum_r, max_rowruns,
+                      interpret=interpret)           # (16, MR)
+    rr = jnp.arange(max_rowruns, dtype=jnp.int32)
+    rstart = r[15].astype(jnp.int32)
+    ty = r[12].astype(jnp.int32) + (rr - rstart)
+    rbox = jnp.stack([r[10], r[11], r[12], r[13]], -1).astype(jnp.int32)
+    rvalid = rr < jnp.minimum(cum_r[-1] if n > 0 else jnp.int32(0),
+                              max_rowruns)
+    # Zero-filled (uncovered) slots have y1b == 0 => in_row False => wr 0.
+    x0r, x1r = row_tile_range(
+        jnp.stack([r[2], r[3], r[4]], -1), jnp.stack([r[0], r[1]], -1),
+        rbox, ty, tile_size)
+    wr = jnp.where(rvalid, x1r - x0r, 0)
+
+    # Level 2: runs -> pairs.
+    cum2 = cumsum_flat(wr, interpret=interpret)
+    starts2 = cum2 - wr
+    total = cum2[-1] if n > 0 else jnp.int32(0)
+    src14 = jnp.concatenate([
+        r[0:10],
+        r[14][None],                                  # original index
+        (ty * ntx + x0r).astype(jnp.float32)[None],   # first tile of row
+        starts2.astype(jnp.float32)[None],
+        jnp.ones((1, max_rowruns), jnp.float32),      # hit flag
+    ])                                                # (14, MR)
+    p = expand_ragged(src14, starts2, cum2, max_pairs,
+                      interpret=interpret)            # (14, MP)
+    slot = jnp.arange(max_pairs, dtype=jnp.int32)
+    hit = p[13] > 0.5
+    valid = (slot < total) & hit
+    g = jnp.where(valid, p[10].astype(jnp.int32), n)
+    tile_id = jnp.where(
+        valid, p[11].astype(jnp.int32) + (slot - p[12].astype(jnp.int32)),
+        num_tiles)
+
+    # Per-rank pair counts come from the analytic row loop above (exactly
+    # the level-2 enumeration's widths, summed per gaussian). NOTE: if the
+    # rowrun capacity overflows (cum_r[-1] > max_rowruns) the bookkeeping
+    # of ranks past the overflow point degrades to zero-grad ranges
+    # (rendering is already dropping their pairs in that regime).
+    count_g = jnp.where(starts_r < max_rowruns, count_g, 0)
+    exp_starts = cumsum_flat(count_g, interpret=interpret) - count_g
+
+    # Single-key stable sort; the 10 feature columns ride as payloads.
+    (tile_sorted, slot_sorted, g_sorted, *feats) = jax.lax.sort(
+        (tile_id, slot, g) + tuple(p[i] for i in range(10)),
+        num_keys=1, is_stable=True)
+    pair_valid = tile_sorted < num_tiles
+
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(tile_sorted, tids, side="left").astype(
+        jnp.int32)
+    tile_end = jnp.searchsorted(tile_sorted, tids, side="right").astype(
+        jnp.int32)
+
+    bins = TileBins(
+        gauss_idx=g_sorted,
+        pair_valid=pair_valid,
+        tile_start=tile_start,
+        tile_count=tile_end - tile_start,
+        num_pairs=total,
+        exp_slot=jnp.where(pair_valid, slot_sorted, max_pairs),
+        depth_order=idx_s,
+        exp_starts=exp_starts,
+        exp_counts=count_g,
+        num_tiles_x=ntx,
+        num_tiles_y=nty,
+    )
+    return bins, feats
+
+
 def bin_gaussians(
     proj: Projected,
     width: int,
