@@ -50,12 +50,12 @@ def main():
     n = 1_000_000 if on_tpu else 20_000
     w, h = (1600, 1056) if on_tpu else (400, 400)
     impl = "pallas" if on_tpu else "chunked"
-    # Pair capacity sized to the scene (row-adaptive ellipse binning emits
-    # ~3.43M true pairs): every binning / reduction pass is O(max_pairs),
-    # so capacity slack is pure overhead.
+    # Pair capacity sized to the scene (opacity-aware ellipse binning
+    # emits ~3.36M true pairs / ~1.56M row runs): every binning /
+    # reduction pass is O(max_pairs), so capacity slack is pure overhead.
     cfg = RenderConfig(
-        max_pairs=3_506_176 if on_tpu else 2 ** 17,   # 27392 x 128
-        max_rowruns=2_097_152 if on_tpu else None,
+        max_pairs=3_407_872 if on_tpu else 2 ** 17,   # 26624 x 128
+        max_rowruns=1_703_936 if on_tpu else None,    # 13312 x 128
         max_per_tile=4096 if on_tpu else 512,
         chunk=64 if on_tpu else 32,
         impl=impl,

@@ -84,36 +84,52 @@ def _cov3d_components(scales, quats):
     return c00, c01, c02, c11, c12, c22
 
 
-def ellipse_row_xrange(conic, xys, ylo, yhi):
-    """Pixel-x extent of the 3-sigma ellipse within the pixel-y band
+def coverage_q(op):
+    """Opacity-aware coverage contour level q (the ellipse Q(dx) = q with
+    sigma = Q/2). Outside it alpha = op*exp(-sigma) < ALPHA_THRESH
+    (1/255, ops.rasterize_ref:32) and every compositor SKIPS the pair, so
+    binning to this contour instead of the fixed 3-sigma one (q = 9) is
+    rendering- and gradient-exact while shedding all pairs a low-opacity
+    splat could never touch: q = min(9, 2*ln(op/ALPHA_THRESH)), with
+    q <= 0 (op <= 1/255) meaning the splat is entirely invisible.
+    gsplat's CUDA binning uses the fixed 3-sigma radius regardless of
+    opacity (SURVEY.md C-N1); the extra pairs it keeps are exactly the
+    ones its own ALPHA_THRESH test then discards per pixel."""
+    return jnp.minimum(2.0 * jnp.log(jnp.maximum(op, 1e-12) * 255.0), 9.0)
+
+
+def ellipse_row_xrange(conic, xys, ylo, yhi, q=9.0):
+    """Pixel-x extent of the q-contour ellipse within the pixel-y band
     [ylo, yhi] — the geometry shared by row-adaptive tile binning
     (ops.tiles.bin_gaussians) and the oracle's per-pixel coverage test
     (ops.rasterize_ref), so the two enumerate IDENTICAL (gaussian, tile)
-    pairs.
+    pairs. q defaults to the 3-sigma contour (9.0); see coverage_q for
+    the opacity-aware level.
 
-    The 3-sigma contour is a*dx^2 + 2b*dx*dy + c*dy^2 = 9 (conic packs
+    The contour is a*dx^2 + 2b*dx*dy + c*dy^2 = q (conic packs
     (a, b, c), sigma = Q/2). At fixed dy the x-slice is
-    (-b*dy +- sqrt(9a - det*dy^2)) / a; over a band, the upper envelope
-    is concave with its max at dy* = -3b / sqrt(det*c) (where it reaches
-    the ellipse's global x-extent 3*sqrt(c/det)), so the band maximum is
-    the envelope at dy* clamped into the band; the lower envelope is the
-    mirror image. conic (..., 3), xys (..., 2), ylo/yhi broadcastable.
-    Returns (x_lo, x_hi, valid): absolute pixel-x bounds and whether the
-    band intersects the ellipse's y-extent at all.
+    (-b*dy +- sqrt(q*a - det*dy^2)) / a; over a band, the upper envelope
+    is concave with its max at dy* = -sqrt(q)*b / sqrt(det*c) (where it
+    reaches the ellipse's global x-extent sqrt(q*c/det)), so the band
+    maximum is the envelope at dy* clamped into the band; the lower
+    envelope is the mirror image. conic (..., 3), xys (..., 2), ylo/yhi/q
+    broadcastable. Returns (x_lo, x_hi, valid): absolute pixel-x bounds
+    and whether the band intersects the ellipse's y-extent at all.
     """
     a = jnp.maximum(conic[..., 0], 1e-12)
     b = conic[..., 1]
     c = jnp.maximum(conic[..., 2], 1e-12)
+    q = jnp.maximum(q, 0.0)
     cx_, cy_ = xys[..., 0], xys[..., 1]
     det = jnp.maximum(a * c - b * b, 1e-12)
-    dym = jnp.sqrt(9.0 * a / det)
+    dym = jnp.sqrt(q * a / det)
     dlo = jnp.clip(ylo - cy_, -dym, dym)
     dhi = jnp.clip(yhi - cy_, -dym, dym)
-    valid = (ylo - cy_ <= dym) & (yhi - cy_ >= -dym)
-    dy_v = -3.0 * b / jnp.sqrt(det * c)
+    valid = (ylo - cy_ <= dym) & (yhi - cy_ >= -dym) & (q > 0.0)
+    dy_v = -jnp.sqrt(q) * b / jnp.sqrt(det * c)
 
     def slice_x(dy, sign):
-        s = jnp.sqrt(jnp.maximum(9.0 * a - det * dy * dy, 0.0))
+        s = jnp.sqrt(jnp.maximum(q * a - det * dy * dy, 0.0))
         return (-b * dy + sign * s) / a
 
     x_hi = cx_ + slice_x(jnp.clip(dy_v, dlo, dhi), 1.0)
@@ -121,8 +137,8 @@ def ellipse_row_xrange(conic, xys, ylo, yhi):
     return x_lo, x_hi, valid
 
 
-def row_tile_range(conic, xys, tile_box, ty, tile_size: int):
-    """Tile-column range [x0, x1) that the 3-sigma ellipse covers within
+def row_tile_range(conic, xys, tile_box, ty, tile_size: int, q=9.0):
+    """Tile-column range [x0, x1) that the q-contour ellipse covers within
     tile row `ty`, clipped to the gaussian's binned tile box. All args
     broadcast elementwise; returns int32 (x0, x1) with x1 == x0 where the
     row misses the ellipse or the box. THE shared coverage predicate:
@@ -131,7 +147,7 @@ def row_tile_range(conic, xys, tile_box, ty, tile_size: int):
     oracle see identical (gaussian, tile) pair sets."""
     ylo = (ty * tile_size).astype(jnp.float32)
     x_lo, x_hi, bval = ellipse_row_xrange(conic, xys, ylo,
-                                          ylo + float(tile_size))
+                                          ylo + float(tile_size), q)
     x0b = tile_box[..., 0]
     x1b = tile_box[..., 1]
     y0b = tile_box[..., 2]
@@ -152,9 +168,16 @@ def project(
     height: int,
     tile_size: int = 16,
     clip_thresh: float = CLIP_THRESH,
+    opacities=None,
 ) -> Projected:
     """Project N Gaussians into screen space. All args traced except the
-    static ints width/height/tile_size."""
+    static ints width/height/tile_size.
+
+    `opacities` (optional, (N,) in [0, 1] — the values the compositor
+    will receive) tightens the tile box to the opacity-aware coverage
+    contour (coverage_q): rendering-exact, fewer (gaussian, tile)
+    pairs. Binning must then evaluate row coverage with the same q
+    (ops.tiles threads opacity through both its levels)."""
     f32 = jnp.float32
     means = means.astype(f32)
     Rwc = viewmat[:3, :3].astype(f32)
@@ -221,13 +244,15 @@ def project(
     mid = 0.5 * (a + c)
     v1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius_f = jnp.ceil(3.0 * jnp.sqrt(v1))
-    # Tile bounds use the exact AABB of the 3-sigma ELLIPSE (marginal
+    # Tile bounds use the exact AABB of the coverage ELLIPSE (marginal
     # stddevs sqrt(a), sqrt(c)) instead of gsplat's 3-sigma-circle square —
-    # every point outside it has sigma > 4.5 (alpha < 0.0111), so for
-    # anisotropic splats this sheds ~2x of the (gaussian, tile) pairs at a
-    # <=1.1%-alpha tail deviation from the reference's square binning.
-    rx_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(a, 1e-8)))
-    ry_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(c, 1e-8)))
+    # every point outside it has alpha below the compositor's skip
+    # threshold, so for anisotropic splats this sheds ~2x of the
+    # (gaussian, tile) pairs with zero rendering difference. With
+    # opacities given the contour tightens further (coverage_q).
+    qv = coverage_q(opacities) if opacities is not None else 9.0
+    rx_f = jnp.ceil(jnp.sqrt(jnp.maximum(qv * a, 1e-8)))
+    ry_f = jnp.ceil(jnp.sqrt(jnp.maximum(qv * c, 1e-8)))
 
     center_x = fx * px_v * rz + cx
     center_y = fy * py_v * rz + cy
@@ -246,6 +271,11 @@ def project(
     y1 = jnp.clip(jnp.floor((cyp + ry) / tile_size) + 1, 0, nty).astype(jnp.int32)
 
     visible = valid & det_ok
+    if opacities is not None:
+        visible = visible & (qv > 0.0)   # op <= 1/255: never composited
+    # radii keeps the plain 3-sigma eigenvalue radius regardless of
+    # opacity: it feeds the densifier's screen-size stats
+    # (sgn_splatfacto.py:534-541), which the reference computes that way.
     radii = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
     x1 = jnp.where(visible, jnp.maximum(x1, x0), x0)
     y1 = jnp.where(visible, jnp.maximum(y1, y0), y0)

@@ -33,6 +33,8 @@ def _from_jsonable(cls, data):
     hints = typing.get_type_hints(cls)
     kwargs = {}
     for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue   # field added after this config.json was written
         v = data[f.name]
         t = hints[f.name]
         origin = typing.get_origin(t)
@@ -87,8 +89,11 @@ def eval_setup(run_dir: Path, checkpoint: Optional[Path] = None,
 
     data_config, scene_config, trainer_config, dm_config = load_run_config(
         run_dir)
+    # resume handled explicitly below; viewer_port off (the standalone
+    # viewer CLI attaches its own server).
     trainer_config = dataclasses.replace(trainer_config, resume=False,
-                                         output_dir=Path(run_dir))
+                                         output_dir=Path(run_dir),
+                                         viewer_port=None)
     trainer = Trainer(data_config, scene_config, trainer_config, dm_config)
     ckpt = checkpoint or latest_checkpoint(Path(run_dir) / "checkpoints")
     if ckpt is not None:

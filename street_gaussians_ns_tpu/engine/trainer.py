@@ -50,6 +50,8 @@ class TrainerConfig:
     output_dir: Path = Path("outputs/run")
     resume: bool = True
     render_impl: str = "pallas"   # "pallas" on TPU, "chunked" portable
+    viewer_port: Optional[int] = None   # live viewer (reference: viser,
+    #                                     sgn_config.py:110); None = off
 
 
 def _next_pow2(n: int) -> int:
@@ -92,6 +94,18 @@ def build_stores(scene: ParsedScene, config: SceneGraphConfig,
             rng=jax.random.fold_in(k_obj, i)))
     obj = jax.tree.map(lambda *xs: jnp.stack(xs), *stores)
     return bg, obj, scene.tracks
+
+
+def attach_viewer(trainer: "Trainer", port: int):
+    """Start the live HTTP viewer seeded from the first train camera."""
+    from ..utils.viewer import ViewerServer
+
+    server = ViewerServer(port=port)
+    scene = trainer.scene
+    i0 = int(scene.train_indices[0]) if len(scene.train_indices) else 0
+    server.set_init(scene.c2w[i0], float(scene.times[i0]),
+                    extras={"frames": int(scene.num_frames)})
+    return server
 
 
 class Trainer:
@@ -142,6 +156,12 @@ class Trainer:
             scene_refine_step, config=self.config,
             num_train_data=self.dm.num_train))
 
+        self.viewer = None
+        if trainer_config.viewer_port is not None:
+            self.viewer = attach_viewer(self, trainer_config.viewer_port)
+            self.writer.log(
+                f"viewer: http://localhost:{self.viewer.port}/")
+
     def _step_fn(self, height: int, width: int, step: int):
         # The entropy loss (and thus the object/background accumulation
         # renders) only activates past the background's stop_split_at —
@@ -184,18 +204,49 @@ class Trainer:
                 t_last = time.time()
                 m["steps_per_sec"] = (10 if step else 1) / max(dt, 1e-9)
                 self.writer.write(step, m)
+                if self.viewer is not None:
+                    self.viewer.update_stats(step=step, **{
+                        k: m[k] for k in ("loss", "psnr", "gaussian_count",
+                                          "steps_per_sec") if k in m})
                 if step % 100 == 0:
                     self.writer.log(
                         f"step {step}: loss={m.get('loss', 0):.4f} "
                         f"psnr={m.get('psnr', 0):.2f} "
                         f"N={int(m.get('gaussian_count', 0))} "
                         f"({m['steps_per_sec']:.2f} it/s)")
+            if self.viewer is not None:
+                # Viewer renders run on THIS thread, serialized between
+                # steps (never racing training for the chip).
+                self.viewer.service(self._viewer_render)
             if (step + 1) % self.tc.steps_per_eval_image == 0:
                 self.eval_image(step)
             if (step + 1) % self.tc.steps_per_save == 0 or step + 1 == total:
                 path = save_checkpoint(self.ckpt_dir, step + 1, self.state)
                 self.writer.log(f"saved {path}")
         return self.state
+
+    def _viewer_render(self, c2w: np.ndarray, t: float,
+                       width: int, height: int) -> np.ndarray:
+        """Render a viewer frame (called between train steps; one jit
+        compile per resolution — the client pins a small ladder)."""
+        scene = self.scene
+        i0 = int(scene.train_indices[0]) if len(scene.train_indices) else 0
+        sx = width / float(scene.width[i0])
+        sy = height / float(scene.height[i0])
+        from ..core.cameras import Camera
+
+        camera = Camera.make(scene.fx[i0] * sx, scene.fy[i0] * sy,
+                             scene.cx[i0] * sx, scene.cy[i0] * sy,
+                             c2w, width, height, time=t)
+        key = ("viewer", height, width)
+        if key not in self._step_fns:
+            self._step_fns[key] = jax.jit(functools.partial(
+                forward_scene, config=self.config,
+                render_config=self.render_config, training=False))
+        outputs, _, _ = self._step_fns[key](self.state.store, self.tracks,
+                                            camera, self.state.step)
+        rgb = np.asarray(jnp.clip(outputs["rgb"], 0.0, 1.0))
+        return (rgb * 255).astype(np.uint8)
 
     def eval_image(self, step: int):
         camera, batch = self.dm.next_eval(step)

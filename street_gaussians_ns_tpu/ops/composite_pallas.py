@@ -475,7 +475,7 @@ def _build_feat(xys, conics, colors, opacities, bins: TileBins):
 
 
 def _reduce_pair_grads(gpair: jax.Array, bins: TileBins,
-                       num_gaussians: int,
+                       num_gaussians: int, nc: int = 4,
                        interpret: bool = False) -> jax.Array:
     """Per-pair gradients (sorted pair order, (rows+1, NFEAT, K)) ->
     per-gaussian (N, NFEAT) sums, without a giant scatter-add (XLA
@@ -496,23 +496,27 @@ def _reduce_pair_grads(gpair: jax.Array, bins: TileBins,
          (5x cheaper than the (N, 16) row-scatter form).
     """
     max_pairs = bins.exp_slot.shape[0]
+    ng = 6 + nc             # live gradient rows: x,y,conic(3),op,colors
     # ONE stable sort by expansion slot with the gradient columns as sort
     # PAYLOADS brings per-pair grads back to expansion order directly
     # (exp_slot values are distinct in [0, num_pairs) + sentinel
     # max_pairs tails, whose rows are zero). Payload columns through
-    # lax.sort cost ~0.6 ms per operand per M pairs on v5e — the
-    # argsort + (MP, 8) row gather this replaces cost ~28 ms.
+    # lax.sort cost ~0.9 ms per operand per M pairs on v5e — the
+    # argsort + (MP, 8) row gather this replaces cost ~28 ms. Only the
+    # ng live rows ride; NFEAT pad rows are identically zero.
     if GRAD_PACK_BF16 and (
             jax.default_backend() == "tpu" or GRAD_PACK_BF16 == "force"):
-        # Grads ride as bf16 pairs packed in int32 (8 payload columns
-        # instead of 16). ~0.4% relative rounding on the PER-PAIR values
-        # (sums below stay f32); TPU-only, off in tests.
+        # Grads ride as bf16 pairs packed in int32 (ceil(ng/2) payload
+        # columns instead of ng). ~0.4% relative rounding on the PER-PAIR
+        # values (sums below stay f32); TPU-only, off in tests.
+        np2 = (ng + 1) // 2
         u = jax.lax.bitcast_convert_type(
             gpair.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
-        packed = ((u[:, 0::2, :] << 16) | u[:, 1::2, :]).astype(jnp.int32)
+        packed = ((u[:, 0:2 * np2:2, :] << 16)
+                  | u[:, 1:2 * np2:2, :]).astype(jnp.int32)
         pcols = jax.lax.sort(
             (bins.exp_slot,) + tuple(packed[:, j, :].reshape(-1)[:max_pairs]
-                                     for j in range(NFEAT // 2)),
+                                     for j in range(np2)),
             num_keys=1, is_stable=True)[1:]
 
         def unpack(j):
@@ -521,10 +525,10 @@ def _reduce_pair_grads(gpair: jax.Array, bins: TileBins,
             return jax.lax.bitcast_convert_type(
                 half.astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
 
-        rows_cm = jnp.stack([unpack(j) for j in range(NFEAT)])  # (16, MP)
+        rows_cm = jnp.stack([unpack(j) for j in range(ng)])  # (ng, MP)
     else:
         fcols = tuple(gpair[:, j, :].reshape(-1)[:max_pairs]
-                      for j in range(NFEAT))
+                      for j in range(ng))
         # Invalid/sentinel rows were never written by the kernel and stay
         # zero, so no validity masking is needed after the permute.
         rows_cm = jnp.stack(jax.lax.sort((bins.exp_slot,) + fcols,
@@ -535,12 +539,12 @@ def _reduce_pair_grads(gpair: jax.Array, bins: TileBins,
     starts = jnp.clip(bins.exp_starts, 0, max_pairs)
     ends = jnp.clip(bins.exp_starts + bins.exp_counts, 0, max_pairs)
     rank_sums = segment_rowsum(rows_cm, starts, ends,
-                               interpret=interpret)          # (16, N)
+                               interpret=interpret)          # (ng, N)
     # rank -> original order: depth_order is a permutation, so sorting it
     # with the rank sums as payloads IS the inverse permutation (replaces
-    # an int scatter + (N, 16) row gather at ~40% of the cost).
+    # an int scatter + (N, ng) row gather at ~40% of the cost).
     out = jax.lax.sort(
-        (bins.depth_order,) + tuple(rank_sums[j] for j in range(NFEAT)),
+        (bins.depth_order,) + tuple(rank_sums[j] for j in range(ng)),
         num_keys=1, is_stable=True)
     return jnp.stack(out[1:], axis=-1)
 
@@ -689,7 +693,7 @@ def _rasterize_pallas_bwd(width, height, num_gaussians, interpret,
                       nchunks_bwd, max_pairs // K + 1, ntx, num_tiles,
                       nc, g_accum.transpose(0, 2, 1), aux, interpret)
 
-    seg = _reduce_pair_grads(gpair, bins, num_gaussians, interpret)
+    seg = _reduce_pair_grads(gpair, bins, num_gaussians, nc, interpret)
     g_xys = seg[:, 0:2]
     g_conics = seg[:, 2:5]
     g_opac = seg[:, 5]

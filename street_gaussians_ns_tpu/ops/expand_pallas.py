@@ -65,19 +65,28 @@ def _expand_kernel(base_ref, src_hbm, st_hbm, en_hbm, out_ref,
     # Slot ids on SUBLANES, window sources on LANES, one 128-lane window
     # chunk at a time: every operand layout is native (no reshapes).
     slot = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0) + s0
+    # Manual bf16x3 source split: every f32 decomposes EXACTLY into three
+    # bf16 terms (8+8+8 of the 24 mantissa bits), the one-hot operand is
+    # already exact in bf16 (0.0/1.0), and each output column receives
+    # exactly one 1.0 multiply per term — so three native-bf16 MXU passes
+    # reproduce the f32 select bit-for-bit at HALF the cycles of
+    # Precision.HIGHEST's 6 passes (Mosaic has no HIGH lowering).
+    w = win[:, :]
+    w1 = w.astype(jnp.bfloat16)
+    r1 = w - w1.astype(jnp.float32)
+    w2 = r1.astype(jnp.bfloat16)
+    w3 = (r1 - w2.astype(jnp.float32)).astype(jnp.bfloat16)
     acc = jnp.zeros((c8, block), jnp.float32)
     for k in range(wrows):
         st_k = st_s[k:k + 1, :]                            # (1, 128)
         en_k = en_s[k:k + 1, :]
-        oh = ((st_k <= slot) & (slot < en_k)).astype(jnp.float32)  # (B, 128)
-        # HIGHEST: the MXU's default bf16 passes would round the source
-        # values (~0.4% rel); with full f32 passes the select is EXACT
-        # (each output column receives exactly one 1.0 multiply).
-        acc += jax.lax.dot_general(
-            win[:, k * LANES:(k + 1) * LANES], oh,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)           # (C8, B)
+        oh = ((st_k <= slot) & (slot < en_k)).astype(jnp.bfloat16)  # (B,128)
+        sl = slice(k * LANES, (k + 1) * LANES)
+        for term in (w1, w2, w3):
+            acc += jax.lax.dot_general(
+                term[:, sl], oh,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (C8, B)
     out_ref[:, :] = acc
 
 

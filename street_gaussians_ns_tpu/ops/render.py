@@ -80,7 +80,7 @@ def rasterize(
     if bins is None:
         bins = bin_gaussians(proj, camera.width, camera.height,
                              config.tile_size, config.max_pairs,
-                             config.max_rowruns)
+                             config.max_rowruns, opacities=opacities)
     if config.impl == "scan":
         img, alpha = rasterize_tiles_jnp(
             proj.xys, proj.conics, colors, opacities, bins,
@@ -124,9 +124,15 @@ def render(
     far fill, and eval renders clamp rgb to [0, 1].
     """
     vm = viewmat_from_c2w(camera.c2w)
+    # Opacity-aware tile boxes (coverage_q): pairs a splat's alpha could
+    # never lift past the compositor's 1/255 skip threshold are never
+    # binned — rendering- and gradient-exact, fewer pairs. The binning
+    # topology is not differentiated (stop_gradient'd boxes; the fused
+    # path's custom_vjp treats enumeration as a constant).
     proj = project(means, scales, quats, vm, camera.fx, camera.fy,
                    camera.cx, camera.cy, camera.width, camera.height,
-                   tile_size=config.tile_size)
+                   tile_size=config.tile_size,
+                   opacities=jax.lax.stop_gradient(opacities))
     if active is not None:
         # Inactive slots emit no tile pairs and render as radius-0.
         proj = dataclasses.replace(

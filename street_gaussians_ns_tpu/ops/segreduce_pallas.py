@@ -7,9 +7,14 @@ difference) spends ~28 ms at 3.5M pairs — almost all of it in the (N, C)
 boundary gather, TPU's slowest primitive. This kernel instead grids over
 SEGMENT blocks (aligned output, no gather anywhere): each block of 1024
 segments streams its pair-chunk span from HBM and accumulates
-`acc += chunk (C, 128) @ onehot (128pairs, 128segs)` on the MXU, with the
-one-hot built from the segment bounds by a broadcast compare (the same
-idiom as ops.expand_pallas, in the contracting direction).
+`acc += chunk (C, 1024) @ onehot (1024 pairs, 128 segs)` on the MXU, with
+the one-hot built from the segment bounds by a broadcast compare (the
+same idiom as ops.expand_pallas, in the contracting direction).
+
+Stride: 1024 pairs per loop iteration (PAIR_CHUNK), not 128 — at 128 the
+loop is iteration-latency-bound (~27k tiny DMAs ≈ 2 us each = the whole
+kernel's 60 ms); at 1024 the same span is ~3.5k iterations of one 64 KB
+DMA + up to 8 masked MXU contractions (~15 ms measured on v5e).
 
 Precision: the MXU's default bf16 input rounding (~2^-8 relative per
 pair value) matches the bf16 packing the gradient columns already ride
@@ -25,7 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SEG_BLOCK = 1024   # segments per grid step
+SEG_BLOCK = 1024     # segments per grid step
+PAIR_CHUNK = 1024    # pairs streamed per loop iteration
 LANES = 128
 
 
@@ -34,19 +40,18 @@ def _segsum_kernel(c0_ref, nch_ref, rows_hbm, st_ref, en_ref, out_ref,
     b = pl.program_id(0)
     c0 = c0_ref[b]
     nch = nch_ref[b]
-    rrows = SEG_BLOCK // LANES
 
     def dma(slot, j):
         return pltpu.make_async_copy(
-            rows_hbm.at[:, pl.ds((c0 + j) * LANES, LANES)], buf.at[slot],
-            sem.at[slot])
+            rows_hbm.at[:, pl.ds((c0 + j) * PAIR_CHUNK, PAIR_CHUNK)],
+            buf.at[slot], sem.at[slot])
 
     @pl.when(nch > 0)
     def _():
         dma(0, 0).start()
 
     out_ref[:, :] = jnp.zeros((c8, SEG_BLOCK), jnp.float32)
-    pos_col = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1), 0)
+    pos_col = jax.lax.broadcasted_iota(jnp.int32, (PAIR_CHUNK, 1), 0)
 
     def body(j, _):
         slot = j % 2
@@ -56,18 +61,18 @@ def _segsum_kernel(c0_ref, nch_ref, rows_hbm, st_ref, en_ref, out_ref,
             dma((j + 1) % 2, j + 1).start()
 
         dma(slot, j).wait()
-        p0 = (c0 + j) * LANES
+        p0 = (c0 + j) * PAIR_CHUNK
         pos = pos_col + p0
-        chunk = buf[slot]                                  # (C8, 128)
-        for k in range(rrows):
+        chunk = buf[slot]                                  # (C8, PAIR_CHUNK)
+        for k in range(SEG_BLOCK // LANES):
             st_k = st_ref[k:k + 1, :]                      # (1, 128)
             en_k = en_ref[k:k + 1, :]
             # Skip segment rows whose span misses this chunk entirely
-            # (most chunks overlap 1-2 of the 8 rows).
+            # (a 1024-pair chunk overlaps ~2-3 of the 8 rows).
             lo = jnp.min(st_k)
             hi = jnp.max(en_k)
 
-            @pl.when((hi > p0) & (lo < p0 + LANES))
+            @pl.when((hi > p0) & (lo < p0 + PAIR_CHUNK))
             def _():
                 oh = ((st_k <= pos) & (pos < en_k)).astype(jnp.float32)
                 out_ref[:, k * LANES:(k + 1) * LANES] += (
@@ -101,7 +106,8 @@ def segment_rowsum(rows: jax.Array, starts: jax.Array, ends: jax.Array,
     c8 = (c + 7) // 8 * 8
     s_pad = (s + SEG_BLOCK - 1) // SEG_BLOCK * SEG_BLOCK
     nb = s_pad // SEG_BLOCK
-    p_pad = (p_len + LANES - 1) // LANES * LANES + LANES
+    p_pad = ((p_len + PAIR_CHUNK - 1) // PAIR_CHUNK * PAIR_CHUNK
+             + PAIR_CHUNK)
     rows_p = jnp.pad(rows.astype(jnp.float32),
                      ((0, c8 - c), (0, p_pad - p_len)))
     # Padded segments are empty at the end of the pair range.
@@ -113,8 +119,9 @@ def segment_rowsum(rows: jax.Array, starts: jax.Array, ends: jax.Array,
     blk = jnp.arange(nb, dtype=jnp.int32)
     first = st_p[blk * SEG_BLOCK]
     last = en_p[blk * SEG_BLOCK + SEG_BLOCK - 1]
-    c0 = first // LANES
-    nch = jnp.maximum(0, (last - c0 * LANES + LANES - 1) // LANES)
+    c0 = first // PAIR_CHUNK
+    nch = jnp.maximum(
+        0, (last - c0 * PAIR_CHUNK + PAIR_CHUNK - 1) // PAIR_CHUNK)
     out = pl.pallas_call(
         functools.partial(_segsum_kernel, c8=c8),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -132,7 +139,7 @@ def segment_rowsum(rows: jax.Array, starts: jax.Array, ends: jax.Array,
             out_specs=pl.BlockSpec((c8, SEG_BLOCK), lambda b, *_: (0, b),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, c8, LANES), jnp.float32),
+                pltpu.VMEM((2, c8, PAIR_CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),

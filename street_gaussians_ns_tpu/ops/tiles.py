@@ -95,7 +95,8 @@ def _owner_by_scatter(starts: jax.Array, capacity: int, n: int) -> jax.Array:
     return cummax_flat(mark)
 
 
-def _row_trim_counts(conics, xys, box, tile_size: int, max_h: int):
+def _row_trim_counts(conics, xys, box, tile_size: int, max_h: int,
+                     q=9.0):
     """Per-gaussian row trim + exact pair count, gather-free.
 
     Bounded loop over the tile-box rows evaluating the shared coverage
@@ -119,8 +120,9 @@ def _row_trim_counts(conics, xys, box, tile_size: int, max_h: int):
     # carries through HBM every iteration — measured 10x slower).
     i = jnp.arange(max_h, dtype=jnp.int32)[None, :]
     ty = y0b[:, None] + i
+    qb = q[:, None] if jnp.ndim(q) else q
     x0, x1 = row_tile_range(conics[:, None, :], xys[:, None, :],
-                            box[:, None, :], ty, tile_size)
+                            box[:, None, :], ty, tile_size, qb)
     w = jnp.where(i < h[:, None], x1 - x0, 0)          # (N, max_h)
     nz = w > 0
     any_nz = jnp.any(nz, axis=1)
@@ -203,10 +205,13 @@ def bin_and_pack(
     # Trim each box to its nonzero-width rows + exact per-gaussian pair
     # count (gather-free; also guarantees counts >= 1 per enumerated row,
     # the expansion kernel's window invariant).
+    from ..core.projection import coverage_q
+
     box_s = jnp.stack([x0_s, x1_s, y0_s, y1_s], axis=-1)
     first, last, count_g = _row_trim_counts(
         jnp.stack([ca_s, cb_s, cc_s], axis=-1),
-        jnp.stack([x_s, y_s], axis=-1), box_s, tile_size, nty)
+        jnp.stack([x_s, y_s], axis=-1), box_s, tile_size, nty,
+        q=coverage_q(op_s))
     nz = jnp.isfinite(dk_s) & (count_g > 0)
     y0t = jnp.where(nz, y0_s + first, 0)
     y1t = jnp.where(nz, y0_s + last + 1, 0)
@@ -233,7 +238,7 @@ def bin_and_pack(
     # Zero-filled (uncovered) slots have y1b == 0 => in_row False => wr 0.
     x0r, x1r = row_tile_range(
         jnp.stack([r[2], r[3], r[4]], -1), jnp.stack([r[0], r[1]], -1),
-        rbox, ty, tile_size)
+        rbox, ty, tile_size, coverage_q(r[5]))
     wr = jnp.where(rvalid, x1r - x0r, 0)
 
     # Level 2: runs -> pairs.
@@ -271,11 +276,14 @@ def bin_and_pack(
         num_keys=1, is_stable=True)
     pair_valid = tile_sorted < num_tiles
 
-    tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(tile_sorted, tids, side="left").astype(
+    # One searchsorted for both bounds: keys are sorted, so tile t's right
+    # boundary IS tile t+1's left boundary, and the sentinel row
+    # (tile_id == num_tiles for invalid pairs) closes the last tile.
+    tids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(tile_sorted, tids, side="left").astype(
         jnp.int32)
-    tile_end = jnp.searchsorted(tile_sorted, tids, side="right").astype(
-        jnp.int32)
+    tile_start = bounds[:-1]
+    tile_end = bounds[1:]
 
     bins = TileBins(
         gauss_idx=g_sorted,
@@ -300,11 +308,14 @@ def bin_gaussians(
     tile_size: int,
     max_pairs: int,
     max_rowruns: int | None = None,
+    opacities: jax.Array | None = None,
 ) -> TileBins:
     """Row-adaptive pair expansion: each (gaussian, tile-row) run
-    enumerates only the tile columns its 3-sigma ELLIPSE covers in that
-    row (core.projection.row_tile_range) instead of the full bounding
-    box — for diagonal anisotropic splats this sheds ~30-40% of the
+    enumerates only the tile columns its coverage ELLIPSE covers in that
+    row (core.projection.row_tile_range; opacity-aware when `opacities`
+    is given — pass the same values the compositor receives, and build
+    `proj` with the same opacities so the tile box matches) instead of
+    the full bounding box — for diagonal anisotropic splats this sheds ~30-40% of the
     pairs, and every downstream per-pair cost (sort, feature gather,
     kernel chunks, gradient reduction) scales with pair count. Two-level
     ragged expansion, both levels the same owner-scatter + flat-cummax +
@@ -329,13 +340,18 @@ def bin_gaussians(
     from ..core.projection import row_tile_range
     from .scan_pallas import cumsum_flat
 
+    from ..core.projection import coverage_q
+
+    op_col = (opacities.astype(jnp.float32) if opacities is not None
+              else jnp.ones((n,), jnp.float32))
     tab = jnp.concatenate([
         proj.xys,                                    # 0:2
         proj.conics,                                 # 2:5
         proj.tile_box.astype(jnp.float32),           # 5:9
-        jnp.arange(n, dtype=jnp.float32)[:, None],   # 9 original index
+        op_col[:, None],                             # 9 opacity
+        jnp.arange(n, dtype=jnp.float32)[:, None],   # 10 original index
     ], axis=-1)
-    tab_s = tab[order]                               # (N, 10)
+    tab_s = tab[order]                               # (N, 11)
     box_s = tab_s[:, 5:9].astype(jnp.int32)
     hrows = jnp.where(visible[order], box_s[:, 3] - box_s[:, 2], 0)
 
@@ -348,13 +364,15 @@ def bin_gaussians(
     rr = jnp.arange(max_rowruns, dtype=jnp.int32)
     rtab = jnp.concatenate(
         [tab_s, starts_r.astype(jnp.float32)[:, None]], axis=-1)[owner1]
-    rstart = rtab[:, 10].astype(jnp.int32)
+    rstart = rtab[:, 11].astype(jnp.int32)
     rbox = rtab[:, 5:9].astype(jnp.int32)
     ty = rbox[:, 2] + (rr - rstart)
     rvalid = rr < jnp.minimum(cum_r[-1] if n > 0 else jnp.int32(0),
                               max_rowruns)
+    rq = (coverage_q(rtab[:, 9]) if opacities is not None
+          else jnp.float32(9.0))
     x0r, x1r = row_tile_range(rtab[:, 2:5], rtab[:, 0:2], rbox, ty,
-                              tile_size)
+                              tile_size, rq)
     wr = jnp.where(rvalid, x1r - x0r, 0)
 
     # Level 2: runs -> pairs.
@@ -364,7 +382,7 @@ def bin_gaussians(
     owner2 = jnp.clip(
         _owner_by_scatter(jnp.where(wr > 0, starts2, max_pairs),
                           max_pairs, max_rowruns), 0, max_rowruns - 1)
-    rtab_i = jnp.stack([rtab[:, 9].astype(jnp.int32),
+    rtab_i = jnp.stack([rtab[:, 10].astype(jnp.int32),
                         ty * ntx + x0r, starts2], axis=-1)
     ptab = rtab_i[owner2]                            # (MP, 3)
     slot = jnp.arange(max_pairs, dtype=jnp.int32)
@@ -392,11 +410,14 @@ def bin_gaussians(
         (tile_id, slot, g), num_keys=1, is_stable=True)
     pair_valid = tile_sorted < num_tiles
 
-    tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(tile_sorted, tids, side="left").astype(
+    # One searchsorted for both bounds (see bin_and_pack): right boundary
+    # of tile t = left boundary of t+1; the invalid-pair sentinel
+    # (tile_id == num_tiles) closes the last tile.
+    tids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(tile_sorted, tids, side="left").astype(
         jnp.int32)
-    tile_end = jnp.searchsorted(tile_sorted, tids, side="right").astype(
-        jnp.int32)
+    tile_start = bounds[:-1]
+    tile_end = bounds[1:]
 
     return TileBins(
         gauss_idx=gauss_sorted,

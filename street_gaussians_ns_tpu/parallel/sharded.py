@@ -113,10 +113,14 @@ def sharded_scene_loss(
 
         vm = viewmat_from_c2w(camera.c2w)
 
-        def project_set(means, scales_log, quats, active, xys_off):
+        def project_set(means, scales_log, quats, active, xys_off, op):
+            # Opacity-aware coverage (core.projection.coverage_q), same as
+            # the single-device render path — keeps pair enumeration (and
+            # any per-tile truncation order) identical across the two.
             pr = project(means, jnp.exp(scales_log), quats, vm, camera.fx,
                          camera.fy, camera.cx, camera.cy, width, height,
-                         tile_size=ts)
+                         tile_size=ts,
+                         opacities=jax.lax.stop_gradient(op))
             return dataclasses.replace(
                 pr,
                 xys=pr.xys + xys_off,
@@ -125,13 +129,14 @@ def sharded_scene_loss(
 
         # background: project the LOCAL shard, then all-gather the compact
         # screen-space attributes across 'model'.
+        op_bg_pre = jnp.where(bg_active,
+                              jax.nn.sigmoid(bg["opacities"][:, 0]), 0.0)
         pr_bg = project_set(bg["means"], bg["scales"], bg["quats"],
-                            bg_active, off_bg)
+                            bg_active, off_bg, op_bg_pre)
         dc_bg = fourier_dc(bg["features_dc"], jnp.float32(0.0))
         rgb_bg = sh_colors(bg["means"], dc_bg, bg["features_rest"], camera,
                            step, config.base, True)
-        op_bg = jnp.where(bg_active,
-                          jax.nn.sigmoid(bg["opacities"][:, 0]), 0.0)
+        op_bg = op_bg_pre
 
         def ag(x):
             return jax.lax.all_gather(x, "model", axis=0, tiled=True)
@@ -142,15 +147,15 @@ def sharded_scene_loss(
 
         # objects: replicated full set.
         obj_flat_active = flat_obj(obj_active & boxes.visible[:, None])
-        pr_obj = project_set(
-            flat_obj(o_means), flat_obj(obj["scales"]), flat_obj(o_quats),
-            obj_flat_active, flat_obj(off_obj))
-        rgb_obj = sh_colors(flat_obj(o_means), flat_obj(o_dc),
-                            flat_obj(obj["features_rest"]), camera, step,
-                            config.base, True)
         op_obj = jnp.where(obj_flat_active,
                            jax.nn.sigmoid(flat_obj(obj["opacities"])[:, 0]),
                            0.0)
+        pr_obj = project_set(
+            flat_obj(o_means), flat_obj(obj["scales"]), flat_obj(o_quats),
+            obj_flat_active, flat_obj(off_obj), op_obj)
+        rgb_obj = sh_colors(flat_obj(o_means), flat_obj(o_dc),
+                            flat_obj(obj["features_rest"]), camera, step,
+                            config.base, True)
 
         pr = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), pr_bg_g,
                           pr_obj)
@@ -163,7 +168,7 @@ def sharded_scene_loss(
 
         # --- bin (full set; replicated across model cols) -------------------
         bins = bin_gaussians(pr, width, height, ts, render_config.max_pairs,
-                             render_config.max_rowruns)
+                             render_config.max_rowruns, opacities=opac)
         bins_pad = dataclasses.replace(
             bins,
             tile_start=_pad_to(bins.tile_start, tiles_pad),

@@ -28,7 +28,9 @@ def _project(means, scales, quats, cam):
 def test_bins_match_reference_binning(seed, n, interpret):
     means, scales, quats, colors, opac, cam = make_scene(n, seed)
     p = _project(means, scales, quats, cam)
-    ref = bin_gaussians(p, cam.width, cam.height, 16, MAX_PAIRS)
+    # Both paths opacity-aware (coverage_q) so pair sets stay identical.
+    ref = bin_gaussians(p, cam.width, cam.height, 16, MAX_PAIRS,
+                        opacities=opac)
     depth_key = jnp.where(p.num_tiles_hit > 0, p.depths, jnp.inf)
     bins, feats = bin_and_pack(
         p.xys, p.conics, p.tile_box, depth_key, colors, opac,
