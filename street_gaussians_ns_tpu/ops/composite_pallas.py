@@ -36,6 +36,14 @@ per-PAIR gradients in the same (rows, 16, 128) layout; the custom_vjp
 wrapper segment-sums them per gaussian. Screen-space xy gradients are
 exactly what densification consumes (sgn_splatfacto.py:523).
 
+Gradient reduce (fused path): feature row 10 carries each pair's DEPTH
+RANK; the backward mirrors it into the gradient stream, so the reduce is
+live-row compaction (most rows are zero after the n_contrib trim) -> one
+rank-keyed sort -> rank-equality one-hot MXU contraction
+(ops.segreduce_pallas.rank_rowsum) -> one un-sort to original ids. See
+_reduce_pair_grads_ranked; the exp_slot machinery (_reduce_pair_grads)
+remains for the unfused path.
+
 Semantics (skip if sigma<0 or alpha<1/255; terminate BEFORE accumulating
 when next_T <= 1e-4; termination latches) match ops.rasterize_ref /
 ops.composite_chunked bit-for-bit — tested against both in
@@ -144,12 +152,22 @@ def _load_chunk(buf, slot, phi):
 
 
 def _fwd_kernel(ntx_ref, starts_ref, counts_ref, feat_hbm,
-                accum_ref, tfin_ref, ncon_ref, buf, state, sem, *, nc: int):
+                accum_ref, tfin_ref, ncon_ref, ring, buf, state, sem_r,
+                sem, *, nc: int):
     """state: VMEM (PIX, 8) scratch — columns [T, done, ncon, pad...].
     Loop state lives in scratch refs (the while carry holds only scalars):
     Mosaic cannot unify the vreg layouts of narrow (PIX, 1) vectors carried
-    through scf.while, but ref load/store round-trips are layout-free."""
+    through scf.while, but ref load/store round-trips are layout-free.
+
+    Cross-tile ring prefetch: most tiles terminate within their first
+    chunk (median n_contrib ~114 pairs at bench scale), so the per-tile
+    pipeline never gets deep enough to hide the first chunk's DMA latency
+    — the dominant stall is the drain at every tile boundary. Chunk 0 of
+    tile t+3 is therefore DMA'd into a 4-slot ring while tiles t..t+2
+    compute (the grid is sequential on a TPU core, so the ring is safe
+    scratch); chunks >= 1 use the classic in-tile double buffer."""
     t = pl.program_id(0)
+    nt = pl.num_programs(0)
     ntx = ntx_ref[0]
     start = starts_ref[t]
     count = counts_ref[t]
@@ -158,13 +176,25 @@ def _fwd_kernel(ntx_ref, starts_ref, counts_ref, feat_hbm,
     n_chunks = pl.cdiv(count, K)
     px, py = _pixel_coords(t, ntx)
 
+    def ring_dma(u):
+        r0 = starts_ref[u] // K
+        return pltpu.make_async_copy(
+            feat_hbm.at[pl.ds(r0, 2)], ring.at[u % 4], sem_r.at[u % 4])
+
     def dma(slot, c):
         return pltpu.make_async_copy(
             feat_hbm.at[pl.ds(row0 + c, 2)], buf.at[slot], sem.at[slot])
 
-    @pl.when(n_chunks > 0)
+    @pl.when(t == 0)
     def _():
-        dma(0, 0).start()
+        for u in range(3):
+            @pl.when((u < nt) & (counts_ref[u] > 0))
+            def _():
+                ring_dma(u).start()
+
+    @pl.when((t + 3 < nt) & (counts_ref[t + 3] > 0))
+    def _():
+        ring_dma(t + 3).start()
 
     kcol = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
 
@@ -185,10 +215,21 @@ def _fwd_kernel(ntx_ref, starts_ref, counts_ref, feat_hbm,
         def _():
             dma((c + 1) % 2, c + 1).start()
 
-        dma(slot, c).wait()
+        @pl.when(c == 0)
+        def _():
+            ring_dma(t).wait()
+
+        @pl.when(c > 0)
+        def _():
+            dma(slot, c).wait()
+
+        # Chunk 0 lives in the ring slot, later chunks in the double
+        # buffer; both loads are cheap VMEM reads and the select keeps the
+        # loop body branch-free.
+        frow = jnp.where(c == 0, _load_chunk(ring, t % 4, phi),
+                         _load_chunk(buf, slot, phi))          # (NFEAT, K)
         T = state[:, 0:1]
         done = state[:, 1:2] > 0.5
-        frow = _load_chunk(buf, slot, phi)                    # (NFEAT, K)
         alpha, skip, _ = _chunk_alpha(frow, px, py)
         # Tail lanes past the tile's count belong to the NEXT tile.
         skip = skip | ((kcol + c * K) >= count)
@@ -214,9 +255,12 @@ def _fwd_kernel(ntx_ref, starts_ref, counts_ref, feat_hbm,
     c_end, _ = jax.lax.while_loop(cond, body,
                                   (jnp.int32(0), jnp.bool_(False)))
 
-    # Early exit leaves the prefetched next chunk's DMA in flight; drain it
-    # or its completion signal corrupts the next tile's semaphore protocol.
-    @pl.when(c_end < n_chunks)
+    # Early exit leaves the prefetched next chunk's DMA in flight; drain
+    # it or its completion signal corrupts the next tile's semaphore
+    # protocol. c_end == 0 can only happen when n_chunks == 0 (chunk 0
+    # always runs), so the in-flight chunk here is always a double-buffer
+    # one; the ring slot was consumed by chunk 0's wait.
+    @pl.when((c_end > 0) & (c_end < n_chunks))
     def _():
         dma(c_end % 2, c_end).wait()
 
@@ -227,8 +271,9 @@ def _fwd_kernel(ntx_ref, starts_ref, counts_ref, feat_hbm,
 
 def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
                 feat_hbm, g_accum_hbm, aux_hbm, gpair_init_hbm,
-                gpair_hbm, buf, gbuf, pend, ga_s, aux_s, state, sem, gsem,
-                iosem, *, nc: int):
+                gpair_hbm, ring, buf, gbuf, pend, ga_s, aux_s, state,
+                sem_r, ga_sem, aux_sem, sem, gsem, *, nc: int,
+                with_rank: bool = False):
     """Forward-replay backward. Per-tile inputs (DMA'd to VMEM), both in
     channel-row form so PIX stays the lane-aligned minor dim:
     g_accum (C, PIX) cotangent of premultiplied accum; aux (4, PIX) packs
@@ -246,6 +291,7 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
     aligned re-pack of the gradient stream ever exists in HBM, so the
     downstream reduction needs no aligned-position indirection."""
     t = pl.program_id(0)
+    nt = pl.num_programs(0)
     ntx = ntx_ref[0]
     start = starts_ref[t]
     count = counts_ref[t]
@@ -264,26 +310,50 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
         return pltpu.make_async_copy(
             feat_hbm.at[pl.ds(row0 + c, 2)], buf.at[slot], sem.at[slot])
 
-    # Load per-tile IO.
-    cps = [
-        pltpu.make_async_copy(g_accum_hbm.at[t], ga_s, iosem.at[0]),
-        pltpu.make_async_copy(aux_hbm.at[t], aux_s, iosem.at[1]),
-    ]
-    for cp in cps:
-        cp.start()
-    for cp in cps:
-        cp.wait()
+    # Cross-tile ring prefetch (see _fwd_kernel): chunk 0 of tile t+3 and
+    # tile t+3's per-tile IO (cotangents + aux) stream in while tiles
+    # t..t+2 compute, hiding the DMA latency the shallow per-tile chunk
+    # pipeline (most tiles replay a single chunk) cannot.
+    def ring_dma(u):
+        r0 = starts_ref[u] // K
+        return pltpu.make_async_copy(
+            feat_hbm.at[pl.ds(r0, 2)], ring.at[u % 4], sem_r.at[u % 4])
 
-    g_accum_r = ga_s[:, :]                                    # (C, PIX)
-    aux = aux_s[:, :].T                                       # (PIX, 4)
+    def ga_dma(u):
+        return pltpu.make_async_copy(g_accum_hbm.at[u], ga_s.at[u % 4],
+                                     ga_sem.at[u % 4])
+
+    def aux_dma(u):
+        return pltpu.make_async_copy(aux_hbm.at[u], aux_s.at[u % 4],
+                                     aux_sem.at[u % 4])
+
+    def prefetch(u):
+        ga_dma(u).start()
+        aux_dma(u).start()
+
+        @pl.when(nbwd_ref[u] > 0)
+        def _():
+            ring_dma(u).start()
+
+    @pl.when(t == 0)
+    def _():
+        for u in range(3):
+            @pl.when(u < nt)
+            def _():
+                prefetch(u)
+
+    @pl.when(t + 3 < nt)
+    def _():
+        prefetch(t + 3)
+
+    ga_dma(t).wait()
+    aux_dma(t).wait()
+    g_accum_r = ga_s[t % 4, :, :]                             # (C, PIX)
+    aux = aux_s[t % 4, :, :].T                                # (PIX, 4)
     gT = aux[:, 0:1]
     tfin = aux[:, 1:2]
     ncon = aux[:, 2:3]
     gdotacc = aux[:, 3:4]
-
-    @pl.when(n_chunks > 0)
-    def _():
-        dma_in(0, 0).start()
 
     kcol = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     ones_p = jnp.ones((PIX, 1), jnp.float32)
@@ -314,7 +384,13 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
         def _():
             dma_in((c + 1) % 2, c + 1).start()
 
-        dma_in(slot, c).wait()
+        @pl.when(c == 0)
+        def _():
+            ring_dma(t).wait()
+
+        @pl.when(c > 0)
+        def _():
+            dma_in(slot, c).wait()
 
         @pl.when(c >= 2)
         def _():
@@ -323,7 +399,8 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
         T = state[:, 0:1]
         done = state[:, 1:2] > 0.5
         prefix_u = state[:, 2:3]
-        frow = _load_chunk(buf, slot, phi)
+        frow = jnp.where(c == 0, _load_chunk(ring, t % 4, phi),
+                         _load_chunk(buf, slot, phi))
         alpha, skip, (dx, dy, sigma) = _chunk_alpha(frow, px, py)
         skip = skip | ((kcol + c * K) >= count)
         within = (kcol + c * K).astype(jnp.float32) < ncon    # (PIX, K)
@@ -371,10 +448,19 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
                 ones_p, m, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
+        if with_rank:
+            # Row 10 mirrors the feature stream's depth-rank row so the
+            # rank-keyed reduction needs no side lookup; dead lanes carry
+            # zero gradients, so whatever rank they name receives +0.
+            tail = ([jnp.zeros((4 - nc, K), jnp.float32)] if nc < 4
+                    else [])
+            tail += [frow[10:11, :],
+                     jnp.zeros((NFEAT - 11, K), jnp.float32)]
+        else:
+            tail = [jnp.zeros((NFEAT - 6 - nc, K), jnp.float32)]
         gout = jnp.concatenate([
             colsum(gx_px), colsum(gy_px), colsum(ga_px), colsum(gb_px),
-            colsum(gc_px), colsum(g_op_px), g_color,
-            jnp.zeros((NFEAT - 6 - nc, K), jnp.float32)], axis=0)
+            colsum(gc_px), colsum(g_op_px), g_color] + tail, axis=0)
         # Rotate into output-row alignment and merge the carried low part.
         # Lanes past the tile's count carry zero gradients (their pairs
         # are skip-masked above), so the hold/spill stays exact.
@@ -402,8 +488,10 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
     c_end, _ = jax.lax.while_loop(cond, body,
                                   (jnp.int32(0), jnp.bool_(False)))
 
-    # Drain the in-flight prefetch on early exit (see _fwd_kernel).
-    @pl.when(c_end < n_chunks)
+    # Drain the in-flight prefetch on early exit (see _fwd_kernel):
+    # c_end == 0 means n_chunks == 0 (nothing issued); otherwise the
+    # in-flight chunk is a double-buffer one (ring consumed at c == 0).
+    @pl.when((c_end > 0) & (c_end < n_chunks))
     def _():
         dma_in(c_end % 2, c_end).wait()
 
@@ -549,6 +637,100 @@ def _reduce_pair_grads(gpair: jax.Array, bins: TileBins,
     return jnp.stack(out[1:], axis=-1)
 
 
+def _reduce_pair_grads_ranked(gpair: jax.Array, starts: jax.Array,
+                              nbwd: jax.Array, num_pairs: jax.Array,
+                              depth_order: jax.Array, num_gaussians: int,
+                              interpret: bool = False) -> jax.Array:
+    """Rank-keyed gradient reduction for the fused path.
+
+    gpair rows 0..9 are the 10 per-pair gradient columns and row 10 the
+    pair's DEPTH RANK (riding the feature stream, composite_pallas
+    module docstring) in (rows, NFEAT, K) sorted-pair layout. Pipeline:
+
+      1. LIVE-ROW COMPACTION: the backward writes only rows the n_contrib
+         trim visits (~25-35% at bench scale; the rest stay zero via the
+         aliased zero-init). Tile row-intervals mark the live set; a
+         stable flag-sort lists live rows first, and one 8 KB-row gather
+         compacts them. Dead rows are identically zero (rank 0, grads 0),
+         so the pad rows a short live set gathers are inert. If the live
+         set overflows the static cap (low-opacity scenes with no early
+         termination), a lax.cond falls back to the full-size reduce —
+         same math, bigger sort.
+      2. ONE sort keyed by rank (bf16-pair-packed payloads on TPU) brings
+         pairs of each gaussian together (any order within a gaussian
+         sums the same), replacing the old exp_slot sort + segment-bound
+         machinery (exp_starts/exp_counts/searchsorted: nothing needed).
+      3. rank_rowsum (ops.segreduce_pallas): rank-equality one-hot MXU
+         contraction into (10, N) depth-rank sums.
+      4. rank -> original order: sorting depth_order with the sums as
+         payloads IS the inverse permutation.
+    """
+    from .segreduce_pallas import rank_rowsum
+
+    nrows = gpair.shape[0]
+    ng = 10
+    cap = max(256, (nrows // 2 + 7) // 8 * 8)
+    row0 = jnp.where(nbwd > 0, starts // K, nrows)
+    row1 = jnp.where(nbwd > 0, jnp.minimum(row0 + nbwd + 1, nrows), nrows)
+    last_flush = jnp.minimum(num_pairs // K, nrows - 1)
+    delta = jnp.zeros((nrows + 1,), jnp.int32)
+    delta = delta.at[row0].add(1, mode="drop")
+    delta = delta.at[row1].add(-1, mode="drop")
+    delta = delta.at[last_flush].add(1, mode="drop")
+    delta = delta.at[last_flush + 1].add(-1, mode="drop")
+    live = jnp.cumsum(delta[:-1]) > 0
+    n_live = jnp.sum(live.astype(jnp.int32))
+    order = jax.lax.sort(((~live).astype(jnp.int32),
+                          jnp.arange(nrows, dtype=jnp.int32)),
+                         num_keys=1, is_stable=True)[1]
+
+    def reduce_rows(rows3):
+        p_len = rows3.shape[0] * K
+        rank = rows3[:, 10, :].reshape(-1).astype(jnp.int32)
+        if GRAD_PACK_BF16 and (
+                jax.default_backend() == "tpu" or GRAD_PACK_BF16 == "force"):
+            u = jax.lax.bitcast_convert_type(
+                rows3[:, :10, :].astype(jnp.bfloat16),
+                jnp.uint16).astype(jnp.uint32)
+            packed = ((u[:, 0:10:2, :] << 16)
+                      | u[:, 1:10:2, :]).astype(jnp.int32)
+            srt = jax.lax.sort(
+                (rank,) + tuple(packed[:, j, :].reshape(-1)
+                                for j in range(5)),
+                num_keys=1, is_stable=True)
+            rank_s, pcols = srt[0], srt[1:]
+
+            def unpack(j):
+                col = pcols[j // 2]
+                half = (col >> 16) if j % 2 == 0 else col
+                return jax.lax.bitcast_convert_type(
+                    half.astype(jnp.uint16),
+                    jnp.bfloat16).astype(jnp.float32)
+
+            rows_cm = [unpack(j) for j in range(ng)]
+        else:
+            srt = jax.lax.sort(
+                (rank,) + tuple(rows3[:, j, :].reshape(-1)
+                                for j in range(ng)),
+                num_keys=1, is_stable=True)
+            rank_s, rows_cm = srt[0], list(srt[1:])
+        rows11 = jnp.stack(rows_cm + [rank_s.astype(jnp.float32)])
+        return rank_rowsum(rows11, rank_s, num_gaussians, interpret)
+
+    if cap < nrows:
+        rank_sums = jax.lax.cond(
+            n_live <= cap,
+            lambda gp: reduce_rows(gp[order[:cap]]),
+            lambda gp: reduce_rows(gp),
+            gpair)
+    else:
+        rank_sums = reduce_rows(gpair)
+    out = jax.lax.sort(
+        (depth_order,) + tuple(rank_sums[j] for j in range(ng)),
+        num_keys=1, is_stable=True)
+    return jnp.stack(out[1:], axis=-1)
+
+
 def _fwd_call(feat, starts, counts, ntx, num_tiles: int, nc: int,
               interpret: bool = False):
     kernel = functools.partial(_fwd_kernel, nc=nc)
@@ -565,8 +747,10 @@ def _fwd_call(feat, starts, counts, ntx, num_tiles: int, nc: int,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
+            pltpu.VMEM((4, 2, NFEAT, K), jnp.float32),   # chunk-0 ring
             pltpu.VMEM((2, 2, NFEAT, K), jnp.float32),
             pltpu.VMEM((PIX, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -586,21 +770,24 @@ def _fwd_call(feat, starts, counts, ntx, num_tiles: int, nc: int,
 
 def _bwd_call(feat, starts, counts, nbwd, gpair_rows: int, ntx,
               num_tiles: int, nc: int, g_accum, aux,
-              interpret: bool = False):
-    kernel = functools.partial(_bwd_kernel, nc=nc)
+              interpret: bool = False, with_rank: bool = False):
+    kernel = functools.partial(_bwd_kernel, nc=nc, with_rank=with_rank)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
+            pltpu.VMEM((4, 2, NFEAT, K), jnp.float32),   # chunk-0 ring
             pltpu.VMEM((2, 2, NFEAT, K), jnp.float32),
             pltpu.VMEM((2, NFEAT, K), jnp.float32),
             pltpu.VMEM((NFEAT, K), jnp.float32),
-            pltpu.VMEM((nc, PIX), jnp.float32),
-            pltpu.VMEM((4, PIX), jnp.float32),
+            pltpu.VMEM((4, nc, PIX), jnp.float32),       # ga ring
+            pltpu.VMEM((4, 4, PIX), jnp.float32),        # aux ring
             pltpu.VMEM((PIX, 8), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -660,7 +847,7 @@ def _rasterize_pallas_fwd(xys, conics, colors, opacities, bins,
 
 
 def _rasterize_pallas_bwd(width, height, num_gaussians, interpret,
-                          residuals, cotangents):
+                          residuals, cotangents, ranked: bool = False):
     (bins, feat, accum, tfin, ncon) = residuals
     g_img, g_alpha = cotangents
     ntx, nty = bins.num_tiles_x, bins.num_tiles_y
@@ -691,9 +878,15 @@ def _rasterize_pallas_bwd(width, height, num_gaussians, interpret,
 
     gpair = _bwd_call(feat, bins.tile_start, bins.tile_count,
                       nchunks_bwd, max_pairs // K + 1, ntx, num_tiles,
-                      nc, g_accum.transpose(0, 2, 1), aux, interpret)
+                      nc, g_accum.transpose(0, 2, 1), aux, interpret,
+                      with_rank=ranked)
 
-    seg = _reduce_pair_grads(gpair, bins, num_gaussians, nc, interpret)
+    if ranked:
+        seg = _reduce_pair_grads_ranked(
+            gpair, bins.tile_start, nchunks_bwd, bins.num_pairs,
+            bins.depth_order, num_gaussians, interpret)
+    else:
+        seg = _reduce_pair_grads(gpair, bins, num_gaussians, nc, interpret)
     g_xys = seg[:, 0:2]
     g_conics = seg[:, 2:5]
     g_opac = seg[:, 5]
@@ -742,11 +935,12 @@ def _pack_feat_cols(feats, max_pairs: int):
         [feat, jnp.zeros((1, NFEAT, K), jnp.float32)], axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def rasterize_pallas_fused_core(xys, conics, colors, opacities,
                                 depth_key, tile_box,
                                 width: int, height: int, max_pairs: int,
-                                max_rowruns, interpret: bool = False):
+                                max_rowruns, interpret: bool = False,
+                                last_color_is_depth: bool = False):
     """Binning + feature threading + compositing under ONE custom_vjp, so
     the payload sorts / Pallas expansions that move the differentiable
     feature columns are never autodiffed (their transpose would be the
@@ -756,12 +950,13 @@ def rasterize_pallas_fused_core(xys, conics, colors, opacities,
     compositor exactly as in `rasterize_pallas_core`."""
     out, _ = _fused_fwd(xys, conics, colors, opacities, depth_key,
                         tile_box, width, height, max_pairs, max_rowruns,
-                        interpret)
+                        interpret, last_color_is_depth)
     return out
 
 
 def _fused_fwd(xys, conics, colors, opacities, depth_key, tile_box,
-               width, height, max_pairs, max_rowruns, interpret):
+               width, height, max_pairs, max_rowruns, interpret,
+               last_color_is_depth=False):
     from .tiles import bin_and_pack
 
     ntx = (width + TILE - 1) // TILE
@@ -771,7 +966,8 @@ def _fused_fwd(xys, conics, colors, opacities, depth_key, tile_box,
     bins, feats = bin_and_pack(
         xys, conics, tile_box, depth_key, colors.astype(jnp.float32),
         opacities, width, height, TILE, max_pairs, max_rowruns,
-        interpret=interpret)
+        interpret=interpret, with_gauss_idx=False,
+        last_color_is_depth=last_color_is_depth)
     feat = _pack_feat_cols(feats, max_pairs)
     accum, tfin, ncon = _fwd_call(feat, bins.tile_start, bins.tile_count,
                                   ntx, num_tiles, nc, interpret)
@@ -782,13 +978,13 @@ def _fused_fwd(xys, conics, colors, opacities, depth_key, tile_box,
 
 
 def _fused_bwd(width, height, max_pairs, max_rowruns, interpret,
-               residuals, cotangents):
+               last_color_is_depth, residuals, cotangents):
     (bins, feat, accum, tfin, ncon) = residuals
     num_gaussians = bins.depth_order.shape[0]
     g_img, g_alpha, _ = cotangents
     g_xys, g_conics, g_colors, g_opac, _ = _rasterize_pallas_bwd(
         width, height, num_gaussians, interpret,
-        (bins, feat, accum, tfin, ncon), (g_img, g_alpha))
+        (bins, feat, accum, tfin, ncon), (g_img, g_alpha), ranked=True)
     return (g_xys, g_conics, g_colors, g_opac,
             jnp.zeros((num_gaussians,), jnp.float32),
             jnp.zeros((num_gaussians, 4), jnp.float32))
@@ -808,6 +1004,7 @@ def rasterize_tiles_pallas_fused(
     max_pairs: int,
     max_rowruns=None,
     interpret: bool = False,
+    last_color_is_depth: bool = False,
 ):
     """Production bin+composite: returns (img, alpha, bins)."""
     assert tile_size == TILE, "Pallas kernel is specialized to 16x16 tiles"
@@ -818,6 +1015,6 @@ def rasterize_tiles_pallas_fused(
     img, alpha, bins = rasterize_pallas_fused_core(
         proj.xys, proj.conics, colors.astype(jnp.float32), opacities,
         depth_key, proj.tile_box.astype(jnp.float32), width, height,
-        max_pairs, max_rowruns, interpret)
+        max_pairs, max_rowruns, interpret, last_color_is_depth)
     img = img + (1.0 - alpha[..., None]) * background[None, None, :]
     return img, alpha, bins

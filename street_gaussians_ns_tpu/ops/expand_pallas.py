@@ -20,6 +20,17 @@ arrive as (8k, 128) row blocks so every layout is DMA-native), and the
 matmul is exact in f32 (each output column receives exactly one 1.0
 multiply).
 
+Two MXU-shaping tricks (together ~3x over the naive loop on v5e):
+  * the three bf16x3 terms are STACKED ON SUBLANES (a (3*C8, 128) lhs)
+    so one matmul carries all three exactness terms — the lhs M dim goes
+    from C8=16 (1/8 of the MXU's 128 rows) to 48, tripling utilization;
+    the three partial products are folded after the chunk loop;
+  * window chunks whose source ranges cannot overlap the output block
+    (the run bounds are monotone, so the overlap band is contiguous) are
+    skipped via per-block [k_lo, k_hi) bounds precomputed on the host —
+    at the binning's typical ~2.2x expansion only ~half the window
+    chunks overlap any given block.
+
 Replaces the owner-mark scatter + flat cummax + row-gather scheme
 (ops.tiles.segment_broadcast) on the binning hot path."""
 from __future__ import annotations
@@ -40,14 +51,16 @@ def _on_tpu(interpret: bool) -> bool:
     return interpret or jax.default_backend() == "tpu"
 
 
-def _expand_kernel(base_ref, src_hbm, st_hbm, en_hbm, out_ref,
-                   win, st_s, en_s, sems, *, block: int, window: int,
-                   c8: int):
+def _expand_kernel(base_ref, klo_ref, khi_ref, src_hbm, st_hbm, en_hbm,
+                   out_ref, win, tm, acc, st_s, en_s, sems, *, block: int,
+                   window: int, c8: int):
     b = pl.program_id(0)
     # base_ref holds base/128: multiplying inside the kernel lets Mosaic
     # PROVE the dynamic DMA offsets are lane/sublane aligned.
     br = base_ref[b]
     base = br * LANES
+    k_lo = klo_ref[b]
+    k_hi = khi_ref[b]
     wrows = window // LANES
     # st/en row-block reads are rounded up to 8 sublanes (int32 tiling).
     wr8 = (wrows + 7) // 8 * 8
@@ -68,26 +81,33 @@ def _expand_kernel(base_ref, src_hbm, st_hbm, en_hbm, out_ref,
     # Manual bf16x3 source split: every f32 decomposes EXACTLY into three
     # bf16 terms (8+8+8 of the 24 mantissa bits), the one-hot operand is
     # already exact in bf16 (0.0/1.0), and each output column receives
-    # exactly one 1.0 multiply per term — so three native-bf16 MXU passes
+    # exactly one 1.0 multiply per term — so native-bf16 MXU passes
     # reproduce the f32 select bit-for-bit at HALF the cycles of
-    # Precision.HIGHEST's 6 passes (Mosaic has no HIGH lowering).
+    # Precision.HIGHEST's 6 passes (Mosaic has no HIGH lowering). The
+    # three terms stack on sublanes into ONE (3*C8, window) lhs.
     w = win[:, :]
     w1 = w.astype(jnp.bfloat16)
     r1 = w - w1.astype(jnp.float32)
     w2 = r1.astype(jnp.bfloat16)
     w3 = (r1 - w2.astype(jnp.float32)).astype(jnp.bfloat16)
-    acc = jnp.zeros((c8, block), jnp.float32)
+    tm[0:c8, :] = w1
+    tm[c8:2 * c8, :] = w2
+    tm[2 * c8:3 * c8, :] = w3
+    acc[:, :] = jnp.zeros((3 * c8, block), jnp.float32)
     for k in range(wrows):
-        st_k = st_s[k:k + 1, :]                            # (1, 128)
-        en_k = en_s[k:k + 1, :]
-        oh = ((st_k <= slot) & (slot < en_k)).astype(jnp.bfloat16)  # (B,128)
-        sl = slice(k * LANES, (k + 1) * LANES)
-        for term in (w1, w2, w3):
-            acc += jax.lax.dot_general(
-                term[:, sl], oh,
+        @pl.when((k_lo <= k) & (k < k_hi))
+        def _():
+            st_k = st_s[k:k + 1, :]                        # (1, 128)
+            en_k = en_s[k:k + 1, :]
+            oh = ((st_k <= slot) & (slot < en_k)).astype(
+                jnp.bfloat16)                              # (B, 128)
+            sl = slice(k * LANES, (k + 1) * LANES)
+            acc[:, :] += jax.lax.dot_general(
+                tm[:, sl], oh,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)        # (C8, B)
-    out_ref[:, :] = acc
+                preferred_element_type=jnp.float32)        # (3*C8, B)
+    out_ref[:, :] = (acc[0:c8, :] + acc[c8:2 * c8, :]
+                     + acc[2 * c8:3 * c8, :])
 
 
 def expand_ragged(src: jax.Array, starts: jax.Array, ends: jax.Array,
@@ -126,9 +146,9 @@ def expand_ragged(src: jax.Array, starts: jax.Array, ends: jax.Array,
     # layout for a windowed 1D int read (a (n, 1) column cannot be tiled).
     n_pad = (s + window - 1) // LANES * LANES + wr8 * LANES
     st_p = jnp.pad(starts.astype(jnp.int32), (0, n_pad - s),
-                   constant_values=sentinel).reshape(-1, LANES)
+                   constant_values=sentinel)
     en_p = jnp.pad(ends.astype(jnp.int32), (0, n_pad - s),
-                   constant_values=sentinel).reshape(-1, LANES)
+                   constant_values=sentinel)
     # First source whose range can cover the block's first slot, in units
     # of 128 source rows (pre-divided so alignment is provable in-kernel).
     base = jnp.clip(
@@ -136,17 +156,35 @@ def expand_ragged(src: jax.Array, starts: jax.Array, ends: jax.Array,
             ends, jnp.arange(nb, dtype=jnp.int32) * block, side="right"),
         0, s - 1).astype(jnp.int32)
     base = base // LANES
+    # Per-(block, window-chunk) overlap band [k_lo, k_hi): chunk k's
+    # sources are rows [base*128 + k*128, +128); st/en are monotone, so
+    # chunks that end before the block's first slot or start at/after its
+    # last are skipped inside the kernel. Sentinel-padded rows make the
+    # trailing chunks' lo = INT_MAX (excluded by k_hi) while partially
+    # padded chunks keep their real lo (their pad lanes one-hot to zero).
+    karange = jnp.arange(wrows, dtype=jnp.int32)
+    firsts = base[:, None] * LANES + karange[None, :] * LANES  # (nb, wr)
+    lasts = firsts + (LANES - 1)
+    lo_k = st_p[firsts]                                        # (nb, wr)
+    hi_k = en_p[jnp.minimum(lasts, n_pad - 1)]
+    s0 = jnp.arange(nb, dtype=jnp.int32)[:, None] * block
+    k_lo = jnp.sum((hi_k <= s0).astype(jnp.int32), axis=1)
+    k_hi = jnp.sum((lo_k < s0 + block).astype(jnp.int32), axis=1)
+    st_p = st_p.reshape(-1, LANES)
+    en_p = en_p.reshape(-1, LANES)
     out = pl.pallas_call(
         functools.partial(_expand_kernel, block=block, window=window,
                           c8=c8),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=3,
             grid=(nb,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
             out_specs=pl.BlockSpec((c8, block), lambda b, *_: (0, b),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((c8, window), jnp.float32),
+                pltpu.VMEM((3 * c8, window), jnp.bfloat16),
+                pltpu.VMEM((3 * c8, block), jnp.float32),
                 pltpu.VMEM((wr8, LANES), jnp.int32),
                 pltpu.VMEM((wr8, LANES), jnp.int32),
                 pltpu.SemaphoreType.DMA((3,)),
@@ -154,5 +192,5 @@ def expand_ragged(src: jax.Array, starts: jax.Array, ends: jax.Array,
         ),
         out_shape=jax.ShapeDtypeStruct((c8, pad_out), jnp.float32),
         interpret=interpret,
-    )(base, src_p, st_p, en_p)
+    )(base, k_lo, k_hi, src_p, st_p, en_p)
     return out[:c, :out_len]

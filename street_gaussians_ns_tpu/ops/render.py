@@ -66,6 +66,7 @@ def rasterize(
     background: jax.Array,   # (C,)
     config: RenderConfig,
     bins: Optional[TileBins] = None,
+    last_color_is_depth: bool = False,
 ):
     """Bin + composite. Returns (img (H,W,C), alpha (H,W), bins)."""
     if config.impl == "pallas" and bins is None:
@@ -75,7 +76,8 @@ def rasterize(
         img, alpha, bins = rasterize_tiles_pallas_fused(
             proj, colors, opacities, camera.width, camera.height,
             config.tile_size, background, config.max_pairs,
-            config.max_rowruns)
+            config.max_rowruns,
+            last_color_is_depth=last_color_is_depth)
         return img, alpha, bins
     if bins is None:
         bins = bin_gaussians(proj, camera.width, camera.height,
@@ -150,7 +152,8 @@ def render(
     colors4 = jnp.concatenate([rgbs, proj.depths[:, None]], axis=-1)
     background = jnp.zeros((4,), jnp.float32)
     img, alpha, bins = rasterize(proj, colors4, opacities, camera,
-                                 background, config)
+                                 background, config,
+                                 last_color_is_depth=True)
 
     rgb = jnp.minimum(img[..., :3], 1.0)
     alpha1 = alpha[..., None]

@@ -85,6 +85,109 @@ def _segsum_kernel(c0_ref, nch_ref, rows_hbm, st_ref, en_ref, out_ref,
     jax.lax.fori_loop(0, nch, body, 0)
 
 
+def _ranksum_kernel(c0_ref, nch_ref, rows_hbm, out_ref, buf, sem, *,
+                    c8: int, ng: int):
+    """Rank-keyed variant: the stream's row `ng` carries each pair's
+    OUTPUT INDEX (depth rank, exact small ints in f32), pairs sorted by
+    that rank. No segment-bound arrays exist at all — the one-hot is an
+    equality compare of the rank row against the block's rank ids, built
+    transposed ((segs, pairs)) so the (1, PAIR_CHUNK) rank row needs no
+    in-kernel transpose."""
+    b = pl.program_id(0)
+    c0 = c0_ref[b]
+    nch = nch_ref[b]
+    r0 = b * SEG_BLOCK
+
+    def dma(slot, j):
+        return pltpu.make_async_copy(
+            rows_hbm.at[:, pl.ds((c0 + j) * PAIR_CHUNK, PAIR_CHUNK)],
+            buf.at[slot], sem.at[slot])
+
+    @pl.when(nch > 0)
+    def _():
+        dma(0, 0).start()
+
+    out_ref[:, :] = jnp.zeros((c8, SEG_BLOCK), jnp.float32)
+    seg_col = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1), 0)
+
+    def body(j, _):
+        slot = j % 2
+
+        @pl.when(j + 1 < nch)
+        def _():
+            dma((j + 1) % 2, j + 1).start()
+
+        dma(slot, j).wait()
+        chunk = buf[slot]                               # (C8, PAIR_CHUNK)
+        rank = chunk[ng:ng + 1, :].astype(jnp.int32)    # (1, PAIR_CHUNK)
+        lo = jnp.min(rank)
+        hi = jnp.max(rank)
+        for k in range(SEG_BLOCK // LANES):
+            rk = r0 + k * LANES
+
+            @pl.when((hi >= rk) & (lo < rk + LANES))
+            def _():
+                ohT = (rank == (seg_col + rk)).astype(
+                    jnp.float32)                        # (128, PAIR_CHUNK)
+                out_ref[:, k * LANES:(k + 1) * LANES] += (
+                    jax.lax.dot_general(
+                        chunk, ohT,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+        return 0
+
+    jax.lax.fori_loop(0, nch, body, 0)
+
+
+def rank_rowsum(rows: jax.Array, ranks: jax.Array, num_out: int,
+                interpret: bool = False) -> jax.Array:
+    """out[:, r] = sum of rows[:, p] over pairs p with ranks[p] == r.
+
+    rows (C, P) f32 — row C-1 (== ng) MUST be `ranks` as f32; ranks (P,)
+    int32 sorted ascending in [0, num_out] (num_out = discard bucket).
+    Returns (C-1, num_out) f32."""
+    c, p_len = rows.shape
+    ng = c - 1
+    if not (interpret or jax.default_backend() == "tpu"):
+        return jax.ops.segment_sum(
+            rows[:ng].T, jnp.clip(ranks, 0, num_out),
+            num_segments=num_out + 1)[:num_out].T
+
+    c8 = (c + 7) // 8 * 8
+    s_pad = (num_out + SEG_BLOCK - 1) // SEG_BLOCK * SEG_BLOCK
+    nb = s_pad // SEG_BLOCK
+    p_pad = ((p_len + PAIR_CHUNK - 1) // PAIR_CHUNK * PAIR_CHUNK
+             + PAIR_CHUNK)
+    # Pad pairs with rank = num_out (the discard bucket past every block).
+    rows_p = jnp.pad(rows.astype(jnp.float32),
+                     ((0, c8 - c), (0, p_pad - p_len)))
+    rows_p = rows_p.at[ng, p_len:].set(jnp.float32(num_out))
+    # Per-block pair span: ranks are sorted, so block b (ranks [r0, r0 +
+    # SEG_BLOCK)) reads the contiguous pair range located by searchsorted.
+    blk = jnp.arange(nb + 1, dtype=jnp.int32) * SEG_BLOCK
+    bounds = jnp.searchsorted(ranks, blk, side="left").astype(jnp.int32)
+    c0 = bounds[:-1] // PAIR_CHUNK
+    nch = jnp.maximum(
+        0, (bounds[1:] - c0 * PAIR_CHUNK + PAIR_CHUNK - 1) // PAIR_CHUNK)
+    out = pl.pallas_call(
+        functools.partial(_ranksum_kernel, c8=c8, ng=ng),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((c8, SEG_BLOCK), lambda b, *_: (0, b),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, c8, PAIR_CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((c8, s_pad), jnp.float32),
+        interpret=interpret,
+    )(c0, nch, rows_p)
+    return out[:ng, :num_out]
+
+
 def segment_rowsum(rows: jax.Array, starts: jax.Array, ends: jax.Array,
                    interpret: bool = False) -> jax.Array:
     """Per-segment sums: out[:, i] = sum_{p in [starts_i, ends_i)}

@@ -148,6 +148,8 @@ def bin_and_pack(
     max_pairs: int,
     max_rowruns: int | None = None,
     interpret: bool = False,
+    with_gauss_idx: bool = True,
+    last_color_is_depth: bool = False,
 ):
     """Fused binning + per-pair feature threading — zero row gathers.
 
@@ -170,7 +172,21 @@ def bin_and_pack(
     Returns (TileBins, feats) where feats is the list of 10 sorted-pair-
     order feature columns [x, y, ca, cb, cc, op, c0..c3] (each
     (max_pairs,) f32; invalid pairs hold zeros — the compositor's inert
-    sentinel rows)."""
+    sentinel rows).
+
+    Sort-payload diet knobs (every payload column costs ~0.6 ms per M
+    pairs through `lax.sort` on v5e):
+      * with_gauss_idx=False skips threading the gaussian index through
+        the expansions and the pair sort (production fused path: nothing
+        reads `gauss_idx` — `exp_slot` drives the gradient reduce);
+        `gauss_idx` comes back zero-filled.
+      * last_color_is_depth=True asserts colors[:, -1] == the depth the
+        caller derived depth_key from (for visible gaussians): that
+        column then rides the depth sort as the KEY itself instead of a
+        separate payload.
+      * tile_box rides the depth sort packed 4x8-bit in ONE int32 column
+        when the tile grid fits (ntx, nty < 256 — images up to ~4080 px;
+        falls back to 4 columns otherwise)."""
     from ..core.projection import row_tile_range
     from .expand_pallas import expand_ragged
     from .scan_pallas import cumsum_flat
@@ -187,20 +203,39 @@ def bin_and_pack(
     tile_box = tile_box.astype(jnp.int32)
 
     # Depth sort with every column as payload (ints ride as int32).
+    nc_ride = nc - 1 if (last_color_is_depth and nc > 0) else nc
+    pack_box = ntx < 256 and nty < 256
+    if pack_box:
+        box_cols = ((tile_box[:, 0] << 24) | (tile_box[:, 1] << 16)
+                    | (tile_box[:, 2] << 8) | tile_box[:, 3],)
+    else:
+        box_cols = (tile_box[:, 0], tile_box[:, 1],
+                    tile_box[:, 2], tile_box[:, 3])
     cols = (
         jnp.arange(n, dtype=jnp.int32),               # original index
         xys[:, 0], xys[:, 1],
         conics[:, 0], conics[:, 1], conics[:, 2],
         opacities.astype(jnp.float32),
-        *(colors[:, i].astype(jnp.float32) for i in range(nc)),
-        *(jnp.zeros((n,), jnp.float32) for _ in range(4 - nc)),
-        tile_box[:, 0], tile_box[:, 1],
-        tile_box[:, 2], tile_box[:, 3],
-    )
+        *(colors[:, i].astype(jnp.float32) for i in range(nc_ride)),
+    ) + box_cols
     dk_s, idx_s, *c_s = jax.lax.sort((depth_key,) + cols, num_keys=1,
                                      is_stable=True)
-    (x_s, y_s, ca_s, cb_s, cc_s, op_s, f0_s, f1_s, f2_s, f3_s,
-     x0_s, x1_s, y0_s, y1_s) = c_s
+    x_s, y_s, ca_s, cb_s, cc_s, op_s = c_s[:6]
+    f_s = list(c_s[6:6 + nc_ride])
+    if last_color_is_depth and nc > 0:
+        # The sorted key IS the last color column at every enumerated
+        # pair (invisible gaussians carry +inf but emit no pairs).
+        f_s.append(dk_s)
+    f_s += [jnp.zeros((n,), jnp.float32) for _ in range(4 - nc)]
+    f0_s, f1_s, f2_s, f3_s = f_s
+    if pack_box:
+        bx = c_s[6 + nc_ride]
+        x0_s = (bx >> 24) & 0xFF    # mask: >>24 of a sign-bit pack is arithmetic
+        x1_s = (bx >> 16) & 0xFF
+        y0_s = (bx >> 8) & 0xFF
+        y1_s = bx & 0xFF
+    else:
+        x0_s, x1_s, y0_s, y1_s = c_s[6 + nc_ride:10 + nc_ride]
 
     # Trim each box to its nonzero-width rows + exact per-gaussian pair
     # count (gather-free; also guarantees counts >= 1 per enumerated row,
@@ -217,6 +252,13 @@ def bin_and_pack(
     y1t = jnp.where(nz, y0_s + last + 1, 0)
     hrows = jnp.where(nz, y1t - y0t, 0)
 
+    # Row 14 carries the per-pair identity the caller needs downstream:
+    # the ORIGINAL index when gauss_idx is requested, else the DEPTH RANK
+    # (the gradient reduce sums per rank and un-sorts once at the end —
+    # exact in f32 far beyond any gaussian count).
+    ident = (idx_s if with_gauss_idx
+             else jnp.arange(n, dtype=jnp.int32)).astype(jnp.float32)
+
     # Level 1: gaussians -> (gaussian, tile-row) runs.
     cum_r = cumsum_flat(hrows, interpret=interpret)
     starts_r = cum_r - hrows
@@ -224,7 +266,7 @@ def bin_and_pack(
         x_s, y_s, ca_s, cb_s, cc_s, op_s, f0_s, f1_s, f2_s, f3_s,
         x0_s.astype(jnp.float32), x1_s.astype(jnp.float32),
         y0t.astype(jnp.float32), y1t.astype(jnp.float32),
-        idx_s.astype(jnp.float32),
+        ident,
         starts_r.astype(jnp.float32),
     ])                                               # (16, N)
     r = expand_ragged(src16, starts_r, cum_r, max_rowruns,
@@ -270,10 +312,23 @@ def bin_and_pack(
     count_g = jnp.where(starts_r < max_rowruns, count_g, 0)
     exp_starts = cumsum_flat(count_g, interpret=interpret) - count_g
 
-    # Single-key stable sort; the 10 feature columns ride as payloads.
-    (tile_sorted, slot_sorted, g_sorted, *feats) = jax.lax.sort(
-        (tile_id, slot, g) + tuple(p[i] for i in range(10)),
-        num_keys=1, is_stable=True)
+    # Single-key stable sort; the feature columns ride as payloads.
+    # Production (with_gauss_idx=False) rides 11 columns — the 10 kernel
+    # features plus the DEPTH RANK (p[10], masked to sentinel n on dead
+    # slots) — and skips the slot + gauss-index payloads entirely (the
+    # rank-keyed gradient reduce needs neither; each payload is
+    # ~0.6 ms/M pairs).
+    if with_gauss_idx:
+        (tile_sorted, slot_sorted, g_sorted, *feats) = jax.lax.sort(
+            (tile_id, slot, g) + tuple(p[i] for i in range(10)),
+            num_keys=1, is_stable=True)
+    else:
+        rank_col = jnp.where(valid, p[10], jnp.float32(n))
+        (tile_sorted, *feats) = jax.lax.sort(
+            (tile_id,) + tuple(p[i] for i in range(10)) + (rank_col,),
+            num_keys=1, is_stable=True)
+        slot_sorted = jnp.zeros_like(tile_sorted)
+        g_sorted = jnp.zeros_like(tile_sorted)
     pair_valid = tile_sorted < num_tiles
 
     # One searchsorted for both bounds: keys are sorted, so tile t's right
