@@ -35,6 +35,9 @@ class SceneTrainState:
     opt: Dict[str, AdamState]
     step: jax.Array
     rng: jax.Array
+    # Per-camera pose deltas (num_cameras, 6) when the camera optimizer
+    # is enabled (config.camera_opt_mode != "off"); None otherwise.
+    camera_opt: Optional[jax.Array] = None
 
 
 def _gaussian_group_params(store: SceneGraphStore, name: str):
@@ -44,7 +47,8 @@ def _gaussian_group_params(store: SceneGraphStore, name: str):
             "obj": getattr(store.objects.params, name)}
 
 
-def init_scene_train_state(store: SceneGraphStore, rng: jax.Array
+def init_scene_train_state(store: SceneGraphStore, rng: jax.Array,
+                           camera_opt: Optional[jax.Array] = None
                            ) -> SceneTrainState:
     opt = {name: init_adam(_gaussian_group_params(store, name))
            for name in GAUSSIAN_GROUPS}
@@ -53,8 +57,13 @@ def init_scene_train_state(store: SceneGraphStore, rng: jax.Array
     if store.delta_center.size:
         opt["bbox_opt"] = init_adam({"delta_center": store.delta_center,
                                      "delta_yaw": store.delta_yaw})
+    if camera_opt is not None:
+        opt["camera_opt"] = init_adam(
+            camera_opt,
+            accum_steps=DEFAULT_GROUPS["camera_opt"].accum_steps)
     return SceneTrainState(store=store, opt=opt,
-                           step=jnp.zeros((), jnp.int32), rng=rng)
+                           step=jnp.zeros((), jnp.int32), rng=rng,
+                           camera_opt=camera_opt)
 
 
 def scene_train_step(
@@ -65,12 +74,18 @@ def scene_train_step(
     config: SceneGraphConfig,
     render_config: RenderConfig,
     subset_accs: bool = True,
+    camera_index: Optional[jax.Array] = None,
 ):
     """One scene-graph optimization step. Returns (new_state, metrics).
 
     subset_accs=False drops the object/background accumulation renders
     (only needed once the entropy loss activates past stop_split_at) —
-    the host trainer switches variants at the boundary."""
+    the host trainer switches variants at the boundary.
+
+    camera_index selects this step's row of the camera-pose deltas when
+    the camera optimizer is enabled (config.camera_opt_mode != "off");
+    its gradients accumulate over DEFAULT_GROUPS["camera_opt"]
+    .accum_steps calls (the reference's {"camera_opt": 100})."""
     rng, k_sky = jax.random.split(state.rng)
     store = state.store
     cap_bg = store.background.capacity
@@ -79,7 +94,21 @@ def scene_train_step(
     cap_obj = store.objects.active.shape[1] if n_obj else 0
     n_flat = cap_bg + n_obj * cap_obj
 
-    def loss_fn(gauss_params, env_map, bbox_params, xys_offset):
+    use_cam_opt = (state.camera_opt is not None
+                   and config.camera_opt_mode != "off")
+
+    def loss_fn(gauss_params, env_map, bbox_params, xys_offset, cam_opt):
+        cam = camera
+        if use_cam_opt:
+            from ..models.camera_opt import CameraOptConfig, apply_camera_opt
+            idx = (camera_index if camera_index is not None
+                   else jnp.zeros((), jnp.int32))
+            cam = dataclasses.replace(
+                camera,
+                c2w=apply_camera_opt(
+                    CameraOptConfig(mode=config.camera_opt_mode,
+                                    num_cameras=cam_opt.shape[0]),
+                    cam_opt, idx, camera.c2w))
         s = dataclasses.replace(
             store,
             background=dataclasses.replace(
@@ -97,7 +126,7 @@ def scene_train_step(
             delta_yaw=bbox_params["delta_yaw"],
         )
         outputs, rout, _ = forward_scene(
-            s, tracks, camera, state.step, config, render_config,
+            s, tracks, cam, state.step, config, render_config,
             rng=k_sky, training=True, xys_offset=xys_offset,
             subset_accs=subset_accs)
         losses = scene_loss_dict(outputs, batch, config, state.step)
@@ -109,10 +138,12 @@ def scene_train_step(
                    "delta_yaw": store.delta_yaw}
     xys_zero = jnp.zeros((n_flat, 2), jnp.float32)
 
+    cam_opt_in = (state.camera_opt if use_cam_opt
+                  else jnp.zeros((1, 6), jnp.float32))
     (total, (losses, outputs, rout)), grads = jax.value_and_grad(
-        loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
-        gauss_params, store.env_map, bbox_params, xys_zero)
-    g_gauss, g_env, g_bbox, g_xys = grads
+        loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True)(
+        gauss_params, store.env_map, bbox_params, xys_zero, cam_opt_in)
+    g_gauss, g_env, g_bbox, g_xys, g_cam = grads
 
     # --- per-group Adam ----------------------------------------------------
     new_opt = dict(state.opt)
@@ -134,6 +165,12 @@ def scene_train_step(
         cfg = DEFAULT_GROUPS["bbox_opt"]
         new_bbox, new_opt["bbox_opt"] = adam_update(
             g_bbox, state.opt["bbox_opt"], bbox_params,
+            schedule(cfg, state.step), cfg)
+    new_cam_opt = state.camera_opt
+    if use_cam_opt and "camera_opt" in state.opt:
+        cfg = DEFAULT_GROUPS["camera_opt"]
+        new_cam_opt, new_opt["camera_opt"] = adam_update(
+            g_cam, state.opt["camera_opt"], state.camera_opt,
             schedule(cfg, state.step), cfg)
 
     new_store = dataclasses.replace(
@@ -188,7 +225,8 @@ def scene_train_step(
         **losses,
     }
     return SceneTrainState(store=new_store, opt=new_opt,
-                           step=state.step + 1, rng=rng), metrics
+                           step=state.step + 1, rng=rng,
+                           camera_opt=new_cam_opt), metrics
 
 
 def _split_opt(opt: Dict[str, AdamState], key: str) -> Dict[str, AdamState]:

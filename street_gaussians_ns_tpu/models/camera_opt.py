@@ -34,33 +34,39 @@ def _skew(v):
 
 
 def exp_map_SO3xR3(tangent: jax.Array) -> jax.Array:
-    """(..., 6) [t, omega] -> (..., 3, 4): R = exp(omega), T = t."""
+    """(..., 6) [t, omega] -> (..., 3, 4): R = exp(omega), T = t.
+
+    Double-where around the norm: the small-angle branch must never see
+    sqrt(0) — its NaN gradient would leak through the outer select
+    (cotangents of a where's discarded branch are 0 * NaN = NaN)."""
     t = tangent[..., :3]
     omega = tangent[..., 3:]
-    theta = jnp.linalg.norm(omega, axis=-1, keepdims=True)
-    theta = jnp.maximum(theta, 1e-12)
+    sq = jnp.sum(omega * omega, axis=-1, keepdims=True)
+    small = sq < 1e-12
+    theta = jnp.sqrt(jnp.where(small, 1.0, sq))
     K = _skew(omega / theta)
     th = theta[..., None]
     R = (jnp.eye(3) + jnp.sin(th) * K + (1 - jnp.cos(th)) * (K @ K))
-    small = (theta < 1e-6)[..., None]
-    R = jnp.where(small, jnp.eye(3) + _skew(omega), R)
+    R = jnp.where(small[..., None], jnp.eye(3) + _skew(omega), R)
     return jnp.concatenate([R, t[..., None]], axis=-1)
 
 
 def exp_map_SE3(tangent: jax.Array) -> jax.Array:
-    """(..., 6) [rho, omega] -> (..., 3, 4) full SE(3) exponential."""
+    """(..., 6) [rho, omega] -> (..., 3, 4) full SE(3) exponential.
+    Same safe-norm double-where as exp_map_SO3xR3."""
     rho = tangent[..., :3]
     omega = tangent[..., 3:]
-    theta = jnp.maximum(jnp.linalg.norm(omega, axis=-1, keepdims=True),
-                        1e-12)
+    sq = jnp.sum(omega * omega, axis=-1, keepdims=True)
+    small = sq < 1e-12
+    theta = jnp.sqrt(jnp.where(small, 1.0, sq))
     K = _skew(omega / theta)
     th = theta[..., None]
     R = jnp.eye(3) + jnp.sin(th) * K + (1 - jnp.cos(th)) * (K @ K)
     V = (jnp.eye(3) + (1 - jnp.cos(th)) / th * K
          + (th - jnp.sin(th)) / th * (K @ K))
-    small = (theta < 1e-6)[..., None]
-    R = jnp.where(small, jnp.eye(3) + _skew(omega), R)
-    V = jnp.where(small, jnp.eye(3), V)
+    small_m = small[..., None]
+    R = jnp.where(small_m, jnp.eye(3) + _skew(omega), R)
+    V = jnp.where(small_m, jnp.eye(3), V)
     return jnp.concatenate([R, (V @ rho[..., None])], axis=-1)
 
 

@@ -51,6 +51,10 @@ class SceneGraphConfig:
     object_acc_entropy_loss_mult: float = 0.001
     bbox_mode: str = "simple"           # "off" | "simple"
     bbox_differentiable: bool = False   # reference detaches (inert) — see C9
+    # Camera pose optimizer (reference default mode="off", sgn_config
+    # :44; grad-accum 100 when enabled): "off" | "SO3xR3" | "SE3".
+    camera_opt_mode: str = "off"
+    num_cameras: int = 0
 
 
 @jax.tree_util.register_dataclass

@@ -193,3 +193,60 @@ class TestSceneTraining:
         assert int(s.store.objects.num_active) > 0
         # env map learned something
         assert float(jnp.abs(s.store.env_map - 0.5).max()) > 0.0
+
+
+class TestCameraOptAccum:
+    def test_adam_accumulation_semantics(self):
+        """accum_steps sums grads and applies one Adam step per window;
+        the applied step equals a plain Adam step on the summed grad."""
+        from street_gaussians_ns_tpu.engine.optimizers import (
+            AdamConfig, adam_update, init_adam)
+        import dataclasses as dc
+        cfg = AdamConfig(lr=1e-2, accum_steps=3)
+        p0 = jnp.asarray([1.0, -2.0, 0.5])
+        st = init_adam(p0, accum_steps=3)
+        grads = [jnp.asarray([0.1, 0.2, -0.3]),
+                 jnp.asarray([0.0, -0.1, 0.1]),
+                 jnp.asarray([0.2, 0.0, 0.0])]
+        p, s = p0, st
+        for i, g in enumerate(grads):
+            p, s = adam_update(g, s, p, jnp.float32(cfg.lr), cfg)
+            if i < 2:                       # no step applied yet
+                np.testing.assert_array_equal(np.asarray(p), np.asarray(p0))
+        # After 3 calls: equals one plain Adam step on the summed grad.
+        ref_p, _ = adam_update(sum(grads), init_adam(p0), p0,
+                               jnp.float32(cfg.lr),
+                               dc.replace(cfg, accum_steps=1))
+        np.testing.assert_allclose(np.asarray(p), np.asarray(ref_p),
+                                   rtol=1e-6)
+        # buffer reset after the applied step
+        np.testing.assert_allclose(np.asarray(s.acc), 0.0, atol=0)
+        assert int(s.count) == 1 and int(s.calls) == 3
+
+    def test_scene_step_with_camera_opt(self):
+        import dataclasses as dc
+        from street_gaussians_ns_tpu.models.camera_opt import (
+            CameraOptConfig, init_camera_opt)
+        store = make_store()
+        tracks = make_tracks()
+        cam = Camera.make(40.0, 40.0, W / 2, H / 2, jnp.eye(3, 4), W, H,
+                          time=1.0)
+        cfg = dc.replace(CFG, camera_opt_mode="SO3xR3", num_cameras=4)
+        cam_opt = init_camera_opt(CameraOptConfig("SO3xR3", 4))
+        state = init_scene_train_state(store, jax.random.PRNGKey(0),
+                                       camera_opt=cam_opt)
+        outputs, _, _ = forward_scene(store, tracks, cam, jnp.int32(0), cfg,
+                                      RCFG, training=False)
+        batch = {"image": jnp.clip(outputs["rgb"] * 0.8 + 0.1, 0, 1)}
+        step = jax.jit(lambda s: scene_train_step(
+            s, tracks, cam, batch, cfg, RCFG,
+            camera_index=jnp.int32(2)))
+        s, m = step(state)
+        assert np.isfinite(float(m["loss"]))
+        # accumulation window = 100: params unchanged after 1 step, but
+        # the accumulator saw this step's gradient.
+        np.testing.assert_array_equal(np.asarray(s.camera_opt),
+                                      np.asarray(cam_opt))
+        acc = np.asarray(s.opt["camera_opt"].acc)
+        assert np.abs(acc[2]).max() > 0.0
+        assert np.abs(np.delete(acc, 2, axis=0)).max() == 0.0
