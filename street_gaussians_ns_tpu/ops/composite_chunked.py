@@ -29,7 +29,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .rasterize_ref import ALPHA_CLAMP, ALPHA_THRESH, T_EPS
+from .rasterize_ref import ALPHA_CLAMP, ALPHA_THRESH, SIGMA_MIN, T_EPS
 from .tiles import TileBins
 
 
@@ -124,8 +124,8 @@ def composite_tiles(
         dy = xy[..., 1:2] - py[:, None, :]
         a, b, c = con[..., 0:1], con[..., 1:2], con[..., 2:3]
         sigma = 0.5 * (a * dx * dx + c * dy * dy) + b * dx * dy
-        alpha = op[..., None] * jnp.exp(-sigma)
-        skip = (~ok[..., None]) | (sigma < 0.0)
+        alpha = op[..., None] * jnp.exp(-jnp.maximum(sigma, 0.0))
+        skip = (~ok[..., None]) | (sigma < SIGMA_MIN)
         delta, T_out, done_out = composite_chunk(
             T, done, alpha, jnp.broadcast_to(skip, alpha.shape), col
         )

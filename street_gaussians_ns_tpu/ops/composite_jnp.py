@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .rasterize_ref import ALPHA_CLAMP, ALPHA_THRESH, T_EPS
+from .rasterize_ref import ALPHA_CLAMP, ALPHA_THRESH, SIGMA_MIN, T_EPS
 from .tiles import TileBins
 
 
@@ -66,8 +66,10 @@ def rasterize_tiles_jnp(
         dy = xy[:, 1:2] - py
         a, b, c = conic[:, 0:1], conic[:, 1:2], conic[:, 2:3]
         sigma = 0.5 * (a * dx * dx + c * dy * dy) + b * dx * dy
-        alpha = jnp.minimum(ALPHA_CLAMP, opac[:, None] * jnp.exp(-sigma))
-        considered = ok[:, None] & (sigma >= 0.0) & (alpha >= ALPHA_THRESH) & (~done)
+        alpha = jnp.minimum(ALPHA_CLAMP,
+                            opac[:, None] * jnp.exp(-jnp.maximum(sigma, 0.0)))
+        considered = (ok[:, None] & (sigma >= SIGMA_MIN)
+                      & (alpha >= ALPHA_THRESH) & (~done))
         next_T = T * (1.0 - alpha)
         terminate = considered & (next_T <= T_EPS)
         contributes = considered & (~terminate)

@@ -13,14 +13,17 @@ boundary carry). Invalid pairs gather a zero sentinel row and fall out
 via the alpha threshold.
 
 Compute layout: pixels on sublanes, splats on lanes — a 16x16 tile is a
-(256, 128) f32 block per chunk, so the outer differences px - x_k, the
-alpha evaluation, and the masked termination logic are single VPU ops; the
-sequential front-to-back transmittance recurrence is a cumulative product
-along the lane axis built from log-step `pltpu.roll`s (Pallas TPU has no
-cumprod lowering); color accumulation is a (256,128)x(128,C) MXU
-contraction. A `while` chunk loop with double-buffered DMA exits early
-once every pixel saturates (the CUDA kernel's per-pixel `done` break,
-amortized to tile granularity).
+(256, 128) f32 block per chunk, with the hot math pushed onto the MXU:
+sigma is a tile-local polynomial contraction (constant pixel basis x
+per-pair coefficients, _chunk_alpha), the sequential front-to-back
+transmittance recurrence is exp(cumsum(log1p(-a))) with the lane cumsum
+an upper-triangular matmul (_composite_chunk_masks), color accumulation
+is a (C,128)x(256,128) contraction, and the backward's xy/conic
+gradients are pixel MOMENTS of dL/dsigma (one basis^T contraction + row
+algebra). The masked termination logic stays on the VPU. A `while` chunk
+loop with double-buffered DMA (plus a cross-tile chunk-0 ring, see
+_fwd_kernel) exits early once every pixel saturates (the CUDA kernel's
+per-pixel `done` break, amortized to tile granularity).
 
 Forward residuals: premultiplied accum (T,256,C), final transmittance
 (T,256), and n_contrib (T,256) — the aligned within-tile index after the
@@ -44,9 +47,10 @@ rank-keyed sort -> rank-equality one-hot MXU contraction
 _reduce_pair_grads_ranked; the exp_slot machinery (_reduce_pair_grads)
 remains for the unfused path.
 
-Semantics (skip if sigma<0 or alpha<1/255; terminate BEFORE accumulating
-when next_T <= 1e-4; termination latches) match ops.rasterize_ref /
-ops.composite_chunked bit-for-bit — tested against both in
+Semantics (skip if sigma < SIGMA_MIN or alpha < 1/255 with
+alpha = op*exp(-relu(sigma)); terminate BEFORE accumulating when
+next_T <= 1e-4; termination latches) match ops.rasterize_ref /
+ops.composite_chunked — tested against both in
 tests/test_pallas_composite.py, in interpret mode and compiled.
 """
 from __future__ import annotations
@@ -59,7 +63,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .rasterize_ref import ALPHA_CLAMP, ALPHA_THRESH, T_EPS
+from .rasterize_ref import (ALPHA_CLAMP, ALPHA_THRESH, SIGMA_MIN,
+                            T_EPS)
 from .tiles import TileBins
 
 TILE = 16
@@ -73,31 +78,69 @@ GRAD_PACK_BF16 = True
 
 
 def _pixel_coords(t, ntx):
-    """Pixel-center coordinates of tile t: two (PIX, 1) f32 columns."""
+    """Tile t's pixel centers split into tile-LOCAL constants + origin:
+    ((px_r, py_r) two (PIX, 1) f32 columns in [0.5, 15.5], (tx0, ty0)
+    f32 scalars). The local columns are grid-invariant constants."""
     lp = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-    tx0 = (t % ntx) * TILE
-    ty0 = (t // ntx) * TILE
-    px = tx0.astype(jnp.float32) + (lp % TILE).astype(jnp.float32) + 0.5
-    py = ty0.astype(jnp.float32) + (lp // TILE).astype(jnp.float32) + 0.5
-    return px, py
+    px_r = (lp % TILE).astype(jnp.float32) + 0.5
+    py_r = (lp // TILE).astype(jnp.float32) + 0.5
+    tx0 = ((t % ntx) * TILE).astype(jnp.float32)
+    ty0 = ((t // ntx) * TILE).astype(jnp.float32)
+    return (px_r, py_r), (tx0, ty0)
 
 
-def _chunk_alpha(frow, px, py):
-    """Alphas + masks for one chunk. frow: (NFEAT, K) feature block.
+def _pixel_basis(pxy):
+    """Constant (PIX, 8) pixel polynomial basis [1, px, py, px^2, px*py,
+    py^2, 0, 0] in the tile frame — shared by the sigma evaluation and
+    the backward's gradient moments."""
+    (px_r, py_r) = pxy
+    return jnp.concatenate([
+        jnp.ones((PIX, 1), jnp.float32), px_r, py_r,
+        px_r * px_r, px_r * py_r, py_r * py_r,
+        jnp.zeros((PIX, 2), jnp.float32)], axis=1)
 
-    Returns (alpha (PIX,K) raw, skip (PIX,K), (dx, dy, sigma))."""
-    x = frow[0:1, :]          # (1, K)
-    y = frow[1:2, :]
+
+def _chunk_alpha(frow, pxy, txy):
+    """Alphas + masks for one chunk. frow: (NFEAT, K) feature block;
+    pxy/txy from _pixel_coords.
+
+    sigma rides the MXU as a tile-local polynomial: per-pair quadratic
+    coefficients in the TILE frame ((1, K) row math) contracted with the
+    constant pixel basis [1, px, py, px^2, px*py, py^2] — one (PIX, 8) x
+    (8, K) f32 matmul replaces the ~8 (PIX, K) VPU ops of the direct
+    dx/dy form. Tile-local coordinates keep the polynomial's terms small
+    (|px_r| < 16, splat offsets within the coverage ellipse), bounding
+    the expansion's cancellation error ~1e-5 in sigma; the sigma <
+    SIGMA_MIN dead band + relu clamp (see ops.rasterize_ref) make the
+    skip rule insensitive to that formulation rounding.
+
+    Returns (alpha (PIX,K) raw, skip (PIX,K), sigma (PIX,K)); the
+    backward derives its xy/conic gradients from pixel MOMENTS of
+    dL/dsigma, so no dx/dy grids are ever materialized."""
+    (px_r, py_r) = pxy
+    (tx0, ty0) = txy
+    x = frow[0:1, :] - tx0    # (1, K) tile-frame splat centers
+    y = frow[1:2, :] - ty0
     ca = frow[2:3, :]
     cb = frow[3:4, :]
     cc = frow[4:5, :]
     op = frow[5:6, :]
-    dx = x - px               # (PIX, K)
-    dy = y - py
-    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-    alpha = jnp.minimum(ALPHA_CLAMP, op * jnp.exp(-sigma))
-    skip = (sigma < 0.0) | (alpha < ALPHA_THRESH)
-    return alpha, skip, (dx, dy, sigma)
+    ca2 = 0.5 * ca
+    cc2 = 0.5 * cc
+    coefs = jnp.concatenate([
+        ca2 * x * x + cb * x * y + cc2 * y * y,      # 1
+        -(ca * x + cb * y),                          # px
+        -(cc * y + cb * x),                          # py
+        ca2, cb, cc2,                                # px^2, px*py, py^2
+        jnp.zeros((2, K), jnp.float32)], axis=0)     # (8, K)
+    basis = _pixel_basis(pxy)                        # (PIX, 8) constant
+    sigma = jax.lax.dot_general(
+        basis, coefs, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (PIX, K)
+    alpha = jnp.minimum(
+        ALPHA_CLAMP, op * jnp.exp(-jnp.maximum(sigma, 0.0)))
+    skip = (sigma < SIGMA_MIN) | (alpha < ALPHA_THRESH)
+    return alpha, skip, sigma
 
 
 def _composite_chunk_masks(T_in, done_in, alpha, skip):
@@ -178,7 +221,7 @@ def _fwd_kernel(ntx_ref, starts_ref, counts_ref, feat_hbm,
     row0 = start // K
     phi = start % K
     n_chunks = pl.cdiv(count, K)
-    px, py = _pixel_coords(t, ntx)
+    pxy, txy = _pixel_coords(t, ntx)
 
     def ring_dma(u):
         r0 = starts_ref[u] // K
@@ -234,7 +277,7 @@ def _fwd_kernel(ntx_ref, starts_ref, counts_ref, feat_hbm,
                          _load_chunk(buf, slot, phi))          # (NFEAT, K)
         T = state[:, 0:1]
         done = state[:, 1:2] > 0.5
-        alpha, skip, _ = _chunk_alpha(frow, px, py)
+        alpha, skip, _ = _chunk_alpha(frow, pxy, txy)
         # Tail lanes past the tile's count belong to the NEXT tile.
         skip = skip | ((kcol + c * K) >= count)
         contributes, a_c, T_before, T_out, done_out = _composite_chunk_masks(
@@ -303,7 +346,7 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
     phi = start % K
     r_end = (start + count) // K
     n_chunks = nbwd_ref[t]
-    px, py = _pixel_coords(t, ntx)
+    pxy, txy = _pixel_coords(t, ntx)
     lane = jax.lax.broadcasted_iota(jnp.int32, (NFEAT, K), 1)
 
     @pl.when(t == 0)
@@ -405,7 +448,7 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
         prefix_u = state[:, 2:3]
         frow = jnp.where(c == 0, _load_chunk(ring, t % 4, phi),
                          _load_chunk(buf, slot, phi))
-        alpha, skip, (dx, dy, sigma) = _chunk_alpha(frow, px, py)
+        alpha, skip, sigma = _chunk_alpha(frow, pxy, txy)
         skip = skip | ((kcol + c * K) >= count)
         within = (kcol + c * K).astype(jnp.float32) < ncon    # (PIX, K)
         contributes, a_c, T_before, T_out, done_out = \
@@ -434,18 +477,39 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
                           gdotc * T_before - gS / om - gT * tfin / om, 0.0)
         unclamped = alpha < ALPHA_CLAMP
         dL_da = jnp.where(unclamped, dL_da, 0.0)
-        dL_ds = -alpha * dL_da                                # (PIX, K)
+        # alpha = op * exp(-relu(sigma)): zero sigma-gradient inside the
+        # SIGMA_MIN dead band (sigma <= 0), matching the relu clamp.
+        dL_ds = jnp.where(sigma > 0.0, -alpha * dL_da, 0.0)  # (PIX, K)
         g_op_px = jnp.where(unclamped & contributes,
-                            dL_da * jnp.exp(-sigma), 0.0)
+                            dL_da * jnp.exp(-jnp.maximum(sigma, 0.0)), 0.0)
 
         ca = frow[2:3, :]
         cb = frow[3:4, :]
         cc = frow[4:5, :]
-        gx_px = dL_ds * (ca * dx + cb * dy)
-        gy_px = dL_ds * (cc * dy + cb * dx)
-        ga_px = dL_ds * 0.5 * dx * dx
-        gb_px = dL_ds * dx * dy
-        gc_px = dL_ds * 0.5 * dy * dy
+        x = frow[0:1, :] - txy[0]     # tile-frame centers (see _chunk_alpha)
+        y = frow[1:2, :] - txy[1]
+        # Per-pair xy/conic gradients as PIXEL MOMENTS of dL/dsigma: with
+        # dx = x - px, every sum over pixels of dL_ds * {dx, dy, dx^2,
+        # dx*dy, dy^2} expands into the same six moments M =
+        # basis^T @ dL_ds ((8, PIX) x (PIX, K), ONE MXU contraction) plus
+        # (1, K) row algebra — this replaces five (PIX, K) product chains
+        # + five M=1 colsum matmuls with one matmul.
+        basis = _pixel_basis(pxy)
+        M = jax.lax.dot_general(
+            basis, dL_ds, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (8, K)
+        M0, Mx, My, Mxx, Mxy, Myy = (M[0:1], M[1:2], M[2:3], M[3:4],
+                                     M[4:5], M[5:6])
+        Sx = x * M0 - Mx
+        Sy = y * M0 - My
+        Sxx = x * x * M0 - 2.0 * x * Mx + Mxx
+        Syy = y * y * M0 - 2.0 * y * My + Myy
+        Sxy = x * y * M0 - x * My - y * Mx + Mxy
+        gx = ca * Sx + cb * Sy                                # (1, K)
+        gy = cc * Sy + cb * Sx
+        ga = 0.5 * Sxx
+        gb = Sxy
+        gc = 0.5 * Syy
 
         def colsum(m):                                        # (PIX,K)->(1,K)
             return jax.lax.dot_general(
@@ -463,8 +527,7 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
         else:
             tail = [jnp.zeros((NFEAT - 6 - nc, K), jnp.float32)]
         gout = jnp.concatenate([
-            colsum(gx_px), colsum(gy_px), colsum(ga_px), colsum(gb_px),
-            colsum(gc_px), colsum(g_op_px), g_color] + tail, axis=0)
+            gx, gy, ga, gb, gc, colsum(g_op_px), g_color] + tail, axis=0)
         # Rotate into output-row alignment and merge the carried low part.
         # Lanes past the tile's count carry zero gradients (their pairs
         # are skip-masked above), so the hold/spill stays exact.

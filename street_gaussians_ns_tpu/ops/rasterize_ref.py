@@ -8,11 +8,20 @@ v0.1 compositing semantics used by the reference plugin
 
   per pixel, front-to-back over splats sorted by view depth:
     sigma  = 0.5*(a*dx^2 + c*dy^2) + b*dx*dy       (dx = center - pixel_center)
-    alpha  = min(0.999, opacity * exp(-sigma))
-    skip   if sigma < 0 or alpha < 1/255
+    alpha  = min(0.999, opacity * exp(-max(sigma, 0)))
+    skip   if sigma < SIGMA_MIN (-1e-3) or alpha < 1/255
     next_T = T * (1 - alpha); if next_T <= 1e-4: STOP (before accumulating)
     out   += color * alpha * T;  T = next_T
   final: out += T * background;  alpha_out = 1 - T
+
+  The sigma-negative skip deviates from gsplat's strict `sigma < 0` by a
+  dead band: for positive-definite conics the direct quadratic is >= 0 up
+  to rounding dust (squares dominate, AM-GM bounds the cross term), so
+  gsplat's test only ever fires on degenerate/indefinite conics — where
+  sigma dives far below -1e-3 within a pixel. The band makes the rule
+  robust to FORMULATION rounding (the production kernel evaluates sigma
+  as a tile-local polynomial on the MXU, which rounds differently by
+  ~1e-5), with the relu clamp keeping alpha <= opacity in the band.
 
 A splat contributes only to pixels whose tile lies in its row-adaptive
 ellipse coverage (core.projection.row_tile_range), matching the
@@ -32,6 +41,7 @@ from ..core.projection import row_tile_range
 ALPHA_THRESH = 1.0 / 255.0
 ALPHA_CLAMP = 0.999
 T_EPS = 1e-4
+SIGMA_MIN = -1e-3   # sigma-negative skip dead band (module docstring)
 
 
 def rasterize_reference(
@@ -75,7 +85,8 @@ def rasterize_reference(
         dx = xy[0] - px  # (1, W) broadcast -> (H, W)
         dy = xy[1] - py
         sigma = 0.5 * (conic[0] * dx * dx + conic[2] * dy * dy) + conic[1] * dx * dy
-        alpha = jnp.minimum(ALPHA_CLAMP, opac * jnp.exp(-sigma))
+        alpha = jnp.minimum(ALPHA_CLAMP,
+                            opac * jnp.exp(-jnp.maximum(sigma, 0.0)))
         # Row-adaptive coverage: the pixel's tile must be one of the
         # columns the 3-sigma ellipse covers in the pixel's tile row —
         # the EXACT predicate bin_gaussians enumerates pairs with
@@ -84,7 +95,8 @@ def rasterize_reference(
         x0r, x1r = row_tile_range(conic[None, None, :], xy[None, None, :],
                                   box[None, None, :], tile_y, tile_size)
         in_box = (tile_x >= x0r) & (tile_x < x1r)
-        considered = vis & in_box & (sigma >= 0.0) & (alpha >= ALPHA_THRESH) & (~done)
+        considered = (vis & in_box & (sigma >= SIGMA_MIN)
+                      & (alpha >= ALPHA_THRESH) & (~done))
         next_T = T * (1.0 - alpha)
         terminate = considered & (next_T <= T_EPS)
         contributes = considered & (~terminate)
