@@ -170,7 +170,16 @@ def read_images_text(path: Path) -> Dict[int, ColmapImage]:
 
 
 def read_points3d_binary(path: Path):
-    """Returns (xyz (N,3) f64, rgb (N,3) u8, error (N,), ids (N,))."""
+    """Returns (xyz (N,3) f64, rgb (N,3) u8, error (N,), ids (N,)).
+
+    Tries the native C++ parser first (street_gaussians_ns_tpu.native,
+    a single buffered pass — the per-record Python loop below costs
+    minutes at Waymo LiDAR scale); falls back transparently."""
+    from ..native import read_points3d_binary as native_read
+
+    out = native_read(path)
+    if out is not None:
+        return out
     xyzs, rgbs, errs, ids = [], [], [], []
     with open(path, "rb") as f:
         (n,) = _read(f, "<Q")

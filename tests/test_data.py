@@ -261,3 +261,37 @@ class TestDataManager:
         assert len(set(seen)) == dm.num_train  # each frame exactly once
         evals = list(dm.fixed_indices_eval())
         assert len(evals) == dm.num_eval
+
+
+class TestNativeColmapReader:
+    def test_native_matches_python(self, tmp_path):
+        """The C++ points3D parser and the Python struct loop agree."""
+        import struct
+
+        from street_gaussians_ns_tpu import native
+        from street_gaussians_ns_tpu.data import colmap_io
+
+        rng = np.random.RandomState(11)
+        path = tmp_path / "points3D.bin"
+        n = 137
+        with open(path, "wb") as f:
+            f.write(struct.pack("<Q", n))
+            for i in range(n):
+                f.write(struct.pack("<QdddBBBd", i * 7, *rng.randn(3),
+                                    i % 256, (3 * i) % 256, (7 * i) % 256,
+                                    rng.rand()))
+                tl = int(rng.randint(0, 5))
+                f.write(struct.pack("<Q", tl))
+                for p in range(tl):
+                    f.write(struct.pack("<ii", p, p + 1))
+        out_native = native.read_points3d_binary(path)
+        if out_native is None:
+            import pytest
+            pytest.skip("native extension unavailable (no g++)")
+        # Force the Python fallback for comparison.
+        import unittest.mock as mock
+        with mock.patch.object(native, "_lib", None), \
+                mock.patch.object(native, "_lib_failed", True):
+            out_py = colmap_io.read_points3d_binary(path)
+        for a, b in zip(out_native, out_py):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
