@@ -126,9 +126,10 @@ def _row_trim_counts(conics, xys, box, tile_size: int, max_h: int,
     w = jnp.where(i < h[:, None], x1 - x0, 0)          # (N, max_h)
     nz = w > 0
     any_nz = jnp.any(nz, axis=1)
-    first = jnp.argmax(nz, axis=1).astype(jnp.int32)
-    last = (max_h - 1
-            - jnp.argmax(nz[:, ::-1], axis=1).astype(jnp.int32))
+    # min/max index reductions instead of argmax + a reversed argmax (the
+    # reverse materializes a second (N, max_h) array).
+    first = jnp.min(jnp.where(nz, i, max_h), axis=1).astype(jnp.int32)
+    last = jnp.max(jnp.where(nz, i, -1), axis=1).astype(jnp.int32)
     cnt = jnp.sum(w, axis=1)
     minus1 = jnp.full_like(y0b, -1)
     return (jnp.where(any_nz, first, minus1),
