@@ -67,11 +67,17 @@ def sharded_scene_loss(
     width: int,
     height: int,
     cap_bg: int,
+    subset_accs: bool = True,
 ):
     """Builds the shard_mapped loss: (gauss_params, env, bbox, xys offsets,
     tracks, cam dict (B,...), batch dict (B,...), step, sky rngs) ->
     (mean loss, aux). B must equal mesh 'data' size; cap_bg divisible by
-    'model' size."""
+    'model' size.
+
+    subset_accs=False drops the object/background accumulation strip
+    composites (the entropy loss they feed is inactive before
+    stop_split_at — engine.scene_train_step mirrors this), turning the
+    hot phase's 3x strip compositing into 1x."""
     model_size = mesh.shape["model"]
     data_size = mesh.shape["data"]
     ts = render_config.tile_size
@@ -185,9 +191,6 @@ def sharded_scene_loss(
             return accum, alpha
 
         accum_s, alpha_s = strip(opac, colors4)
-        ones1 = jnp.ones((n_total, 1), jnp.float32)
-        _, alpha_obj_s = strip(jnp.where(seg_obj, opac, 0.0), ones1)
-        _, alpha_bg_s = strip(jnp.where(seg_obj, 0.0, opac), ones1)
 
         def gather_tiles(x):
             return jax.lax.all_gather(x, "model", axis=0,
@@ -195,8 +198,15 @@ def sharded_scene_loss(
 
         accum_t = gather_tiles(accum_s)
         alpha_t = gather_tiles(alpha_s)
-        alpha_obj = gather_tiles(alpha_obj_s)
-        alpha_bg = gather_tiles(alpha_bg_s)
+        if subset_accs:
+            ones1 = jnp.ones((n_total, 1), jnp.float32)
+            _, alpha_obj_s = strip(jnp.where(seg_obj, opac, 0.0), ones1)
+            _, alpha_bg_s = strip(jnp.where(seg_obj, 0.0, opac), ones1)
+            alpha_obj = gather_tiles(alpha_obj_s)
+            alpha_bg = gather_tiles(alpha_bg_s)
+        else:
+            alpha_obj = jnp.zeros_like(alpha_t)
+            alpha_bg = jnp.zeros_like(alpha_t)
 
         img4 = tiles_to_image(accum_t, ntx, nty, ts, width, height)
         alpha = tiles_to_image(alpha_t, ntx, nty, ts, width, height)[..., None]
@@ -258,12 +268,15 @@ def make_sharded_train_step(
     width: int,
     height: int,
     cap_bg: int,
+    subset_accs: bool = True,
 ):
     """Returns a jitted (state, tracks, cameras_b, batch_b) -> (state,
     metrics) function; cameras_b/batch_b carry a leading axis equal to the
-    'data' mesh size."""
+    'data' mesh size. Pass subset_accs=False for steps before the entropy
+    loss activates (host trainer switches variants, as in
+    engine.trainer)."""
     loss_fn_sm = sharded_scene_loss(mesh, config, render_config, width,
-                                    height, cap_bg)
+                                    height, cap_bg, subset_accs=subset_accs)
     data_size = mesh.shape["data"]
 
     def step_fn(state: SceneTrainState, tracks: ObjectTracks, cam_b: Dict,
