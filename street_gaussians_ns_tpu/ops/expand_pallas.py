@@ -32,7 +32,7 @@ Two MXU-shaping tricks (together ~3x over the naive loop on v5e):
     chunks overlap any given block.
 
 Replaces the owner-mark scatter + flat cummax + row-gather scheme
-(ops.tiles.segment_broadcast) on the binning hot path."""
+(formerly ops.tiles.segment_broadcast) on the binning hot path."""
 from __future__ import annotations
 
 import functools
