@@ -43,6 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 EXPAND_BLOCK = 1024      # output slots per grid step
+EXPAND_SUB = 256         # one-hot sub-block granularity (skip unit)
 EXPAND_MARGIN = 128      # window slack for (rare) zero-count interior rows
 LANES = 128
 
@@ -77,7 +78,8 @@ def _expand_kernel(base_ref, klo_ref, khi_ref, src_hbm, st_hbm, en_hbm,
     s0 = b * block
     # Slot ids on SUBLANES, window sources on LANES, one 128-lane window
     # chunk at a time: every operand layout is native (no reshapes).
-    slot = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0) + s0
+    sub = EXPAND_SUB
+    slot_s = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
     # Manual bf16x3 source split: every f32 decomposes EXACTLY into three
     # bf16 terms (8+8+8 of the 24 mantissa bits), the one-hot operand is
     # already exact in bf16 (0.0/1.0), and each output column receives
@@ -94,18 +96,32 @@ def _expand_kernel(base_ref, klo_ref, khi_ref, src_hbm, st_hbm, en_hbm,
     tm[c8:2 * c8, :] = w2
     tm[2 * c8:3 * c8, :] = w3
     acc[:, :] = jnp.zeros((3 * c8, block), jnp.float32)
+    # Two skip levels: whole window chunks outside the block's band
+    # ([k_lo, k_hi), host-precomputed), then 256-slot SUB-BLOCKS against
+    # the chunk's scalar source-range bounds — at ~2.2x expansion a
+    # visited chunk's sources cover only ~280 of the 1024 slots, so the
+    # one-hot compares (the per-chunk cost floor once the matmuls are
+    # term-stacked) run on ~1.3 sub-blocks instead of the whole block.
     for k in range(wrows):
         @pl.when((k_lo <= k) & (k < k_hi))
         def _():
             st_k = st_s[k:k + 1, :]                        # (1, 128)
             en_k = en_s[k:k + 1, :]
-            oh = ((st_k <= slot) & (slot < en_k)).astype(
-                jnp.bfloat16)                              # (B, 128)
+            lo_k = st_s[k, 0]
+            hi_k = en_s[k, LANES - 1]
             sl = slice(k * LANES, (k + 1) * LANES)
-            acc[:, :] += jax.lax.dot_general(
-                tm[:, sl], oh,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)        # (3*C8, B)
+            for s in range(block // sub):
+                ss0 = s0 + s * sub
+
+                @pl.when((lo_k < ss0 + sub) & (hi_k > ss0))
+                def _():
+                    oh = ((st_k <= slot_s + ss0)
+                          & (slot_s + ss0 < en_k)).astype(
+                        jnp.bfloat16)                      # (SUB, 128)
+                    acc[:, s * sub:(s + 1) * sub] += jax.lax.dot_general(
+                        tm[:, sl], oh,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
     out_ref[:, :] = (acc[0:c8, :] + acc[c8:2 * c8, :]
                      + acc[2 * c8:3 * c8, :])
 
