@@ -19,10 +19,13 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-# Camera model identifiers (subset of COLMAP's, matching the reference's
-# supported undistortion paths: PERSPECTIVE / FISHEYE, sgn_datamanager.py:326+).
+# Camera model identifiers matching the reference's supported undistortion
+# paths: PERSPECTIVE / FISHEYE / FISHEYE624 (sgn_datamanager.py:326-497).
+# FISHEYE624 frames are undistorted to pinhole at cache time
+# (data/fisheye624.py), so the render path only ever sees PERSPECTIVE.
 PERSPECTIVE = 0
 FISHEYE = 1
+FISHEYE624 = 2
 
 
 @jax.tree_util.register_dataclass

@@ -231,10 +231,16 @@ def read_points3d(path: Path):
 
 
 def camera_intrinsics(cam: ColmapCamera):
-    """(fx, fy, cx, cy, distortion dict) from COLMAP params — the subset of
-    parse_colmap_camera_params the plugin consumes (PERSPECTIVE/FISHEYE)."""
+    """(fx, fy, cx, cy, distortion dict, camera model int) from COLMAP
+    params — covers the models the plugin's undistortion paths consume
+    (PERSPECTIVE / FISHEYE / FISHEYE624, sgn_datamanager.py:326-497).
+    The dict carries the FISHEYE624 superset of coefficients (k1..k6
+    radial, p1 p2 tangential, s1..s4 thin prism), zero where the model
+    has none; model ints match core.cameras.{PERSPECTIVE,FISHEYE,
+    FISHEYE624}."""
     p = cam.params
-    d = dict(k1=0.0, k2=0.0, k3=0.0, k4=0.0, p1=0.0, p2=0.0)
+    d = dict(k1=0.0, k2=0.0, k3=0.0, k4=0.0, p1=0.0, p2=0.0,
+             k5=0.0, k6=0.0, s1=0.0, s2=0.0, s3=0.0, s4=0.0)
     m = cam.model
     if m == "SIMPLE_PINHOLE":
         fx = fy = p[0]; cx, cy = p[1], p[2]
@@ -250,7 +256,20 @@ def camera_intrinsics(cam: ColmapCamera):
     elif m == "OPENCV_FISHEYE":
         fx, fy, cx, cy = p[:4]
         d["k1"], d["k2"], d["k3"], d["k4"] = p[4:8]
+    elif m == "THIN_PRISM_FISHEYE":
+        # fx fy cx cy k1 k2 p1 p2 k3 k4 sx1 sy1 — same
+        # equidistant + theta-radial + tangential + thin-prism family as
+        # FISHEYE624 with k5=k6=0 and only the r^2 prism terms.
+        fx, fy, cx, cy = p[:4]
+        d["k1"], d["k2"], d["p1"], d["p2"] = p[4:8]
+        d["k3"], d["k4"] = p[8:10]
+        d["s1"], d["s3"] = p[10:12]
     else:
         raise ValueError(f"unsupported COLMAP camera model {m}")
-    fisheye = m == "OPENCV_FISHEYE"
-    return float(fx), float(fy), float(cx), float(cy), d, fisheye
+    if m == "OPENCV_FISHEYE":
+        model = 1        # core.cameras.FISHEYE
+    elif m == "THIN_PRISM_FISHEYE":
+        model = 2        # core.cameras.FISHEYE624
+    else:
+        model = 0        # core.cameras.PERSPECTIVE
+    return float(fx), float(fy), float(cx), float(cy), d, model

@@ -122,6 +122,10 @@ class DataParserConfig:
     load_dynamic_annotations: bool = True
     max_seed_points: Optional[int] = None
     time_scale: float = 1e-6                   # 16-digit stamps -> seconds
+    # FISHEYE624 only: radius (px) of the valid fisheye circle, the
+    # reference's camera.metadata["fisheye_crop_radius"]
+    # (sgn_datamanager.py:401-404). None -> largest centered circle.
+    fisheye_crop_radius: Optional[float] = None
 
 
 @dataclasses.dataclass
@@ -140,8 +144,11 @@ class ParsedScene:
     height: np.ndarray
     camera_ids: np.ndarray     # (N,)
     times: np.ndarray          # (N,) float seconds (rebased) or zeros
-    distortion: np.ndarray     # (N, 6) [k1 k2 k3 k4 p1 p2]
-    fisheye: np.ndarray        # (N,) bool
+    # (N, 12) [k1 k2 k3 k4 p1 p2 k5 k6 s1 s2 s3 s4]: first six slots keep
+    # the PERSPECTIVE/FISHEYE layout; the tail is only populated for
+    # FISHEYE624 (extra radial + thin-prism terms).
+    distortion: np.ndarray
+    camera_model: np.ndarray   # (N,) int — core.cameras.{PERSPECTIVE,...}
     train_indices: np.ndarray
     eval_indices: np.ndarray
     points_xyz: Optional[np.ndarray]
@@ -151,6 +158,7 @@ class ParsedScene:
     time_offset: int               # 16-digit stamp subtracted before scaling
     annotations: Optional[AnnotationDB] = None
     tracks: Optional[ObjectTracks] = None
+    fisheye_crop_radius: Optional[float] = None   # FISHEYE624 frames only
 
     @property
     def num_frames(self) -> int:
@@ -182,7 +190,7 @@ def parse_scene(config: DataParserConfig, split_all: bool = False
         w2c[:3, 3] = im.tvec
         c2w = np.linalg.inv(w2c)
         c2w[0:3, 1:3] *= -1          # OpenCV -> OpenGL (:189)
-        fx, fy, cx, cy, dist, fisheye = colmap_io.camera_intrinsics(
+        fx, fy, cx, cy, dist, cam_model = colmap_io.camera_intrinsics(
             cams[im.camera_id])
         rel = (config.images_path / im.name).as_posix()
         frames.append(dict(
@@ -191,8 +199,9 @@ def parse_scene(config: DataParserConfig, split_all: bool = False
             fx=fx, fy=fy, cx=cx, cy=cy,
             w=cams[im.camera_id].width, h=cams[im.camera_id].height,
             dist=[dist["k1"], dist["k2"], dist["k3"], dist["k4"],
-                  dist["p1"], dist["p2"]],
-            fisheye=fisheye,
+                  dist["p1"], dist["p2"], dist["k5"], dist["k6"],
+                  dist["s1"], dist["s2"], dist["s3"], dist["s4"]],
+            cam_model=cam_model,
             time=file2time.get(rel, 0.0),
         ))
     frames.sort(key=lambda f: (f["camera_id"], f["time"],
@@ -298,7 +307,7 @@ def parse_scene(config: DataParserConfig, split_all: bool = False
         camera_ids=camera_ids,
         times=times.astype(np.float32),
         distortion=np.array([f["dist"] for f in frames], np.float32),
-        fisheye=np.array([f["fisheye"] for f in frames], bool),
+        camera_model=np.array([f["cam_model"] for f in frames], np.int32),
         train_indices=train_indices,
         eval_indices=eval_indices,
         points_xyz=pts_xyz,
@@ -308,4 +317,5 @@ def parse_scene(config: DataParserConfig, split_all: bool = False
         time_offset=time_offset,
         annotations=annotations,
         tracks=tracks,
+        fisheye_crop_radius=config.fisheye_crop_radius,
     )

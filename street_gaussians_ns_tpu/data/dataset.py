@@ -14,6 +14,9 @@ from typing import Dict, Optional
 
 import numpy as np
 
+from . import fisheye624
+from ..core import cameras
+
 # SemanticType (data_utils.py:26-29)
 SEM_DEFAULT, SEM_GROUND, SEM_SKY = 0, 1, 2
 _GROUND_IDS = (7, 8, 13, 14, 23, 24)
@@ -168,9 +171,25 @@ def load_frame(scene, idx: int, undistort: bool = True,
     fx, fy, cx, cy = (float(scene.fx[idx]), float(scene.fy[idx]),
                       float(scene.cx[idx]), float(scene.cy[idx]))
     if undistort:
-        image, (fx, fy, cx, cy), mask, semantic = undistort_frame(
-            image, fx, fy, cx, cy, scene.distortion[idx],
-            bool(scene.fisheye[idx]), mask, semantic)
+        model = int(scene.camera_model[idx])
+        if model == cameras.FISHEYE624:
+            d = scene.distortion[idx]
+            # (N, 12) row [k1 k2 k3 k4 p1 p2 k5 k6 s1 s2 s3 s4] -> the
+            # 16-parameter fisheye624 vector (fisheye624.py docstring).
+            params16 = np.array(
+                [fx, fy, cx, cy, d[0], d[1], d[2], d[3], d[6], d[7],
+                 d[4], d[5], d[8], d[9], d[10], d[11]], np.float64)
+            crop = scene.fisheye_crop_radius
+            if crop is None:
+                h, w = image.shape[:2]
+                crop = min(cx, cy, w - cx, h - cy)
+            image, (fx, fy, cx, cy), mask, semantic = (
+                fisheye624.undistort_frame_fisheye624(
+                    image, params16, crop, semantic))
+        else:
+            image, (fx, fy, cx, cy), mask, semantic = undistort_frame(
+                image, fx, fy, cx, cy, scene.distortion[idx],
+                model == cameras.FISHEYE, mask, semantic)
 
     if downscale > 1:
         import cv2

@@ -295,3 +295,74 @@ class TestNativeColmapReader:
             out_py = colmap_io.read_points3d_binary(path)
         for a, b in zip(out_native, out_py):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestFisheye624:
+    """FISHEYE624 camera model (data/fisheye624.py) — the reference's
+    sgn_datamanager.py:399-493 branch."""
+
+    PARAMS = np.array([300.0, 300.0, 256.0, 256.0,      # fx fy cx cy
+                       0.05, -0.02, 0.01, -0.005, 0.002, -0.001,  # k0..k5
+                       1e-3, -5e-4,                     # p0 p1
+                       2e-4, -1e-4, 3e-4, 1e-4])        # s0..s3
+
+    def test_project_center_ray(self):
+        from street_gaussians_ns_tpu.data import fisheye624
+        uv = fisheye624.project(np.array([[0.0, 0.0, 1.0]]), self.PARAMS)
+        np.testing.assert_allclose(uv[0], [256.0, 256.0], atol=1e-9)
+
+    def test_radial_roundtrip(self):
+        """unproject_radial inverts project when tangential/prism are 0."""
+        from street_gaussians_ns_tpu.data import fisheye624
+        params = self.PARAMS.copy()
+        params[10:] = 0.0
+        rng = np.random.RandomState(3)
+        rays = rng.randn(200, 3)
+        rays[:, 2] = np.abs(rays[:, 2]) + 0.5
+        rays /= np.linalg.norm(rays, axis=1, keepdims=True)
+        uv = fisheye624.project(rays, params)
+        back = fisheye624.unproject_radial(uv, params)
+        np.testing.assert_allclose(back, rays, atol=1e-6)
+
+    def test_undistort_geometry(self):
+        """Undistorted pixel (x, y) must sample the distorted image at
+        project(ray(x, y)) — encode distorted pixel coords as image
+        channels and check the remap reproduces the forward model."""
+        pytest.importorskip("cv2")
+        from street_gaussians_ns_tpu.data import fisheye624
+        h = w = 512
+        yy, xx = np.mgrid[:h, :w].astype(np.float32)
+        img = np.stack([xx, yy, np.zeros_like(xx)], axis=-1)
+        out, (fx, fy, ncx, ncy), mask, _ = (
+            fisheye624.undistort_frame_fisheye624(img, self.PARAMS, 200.0))
+        side = out.shape[0]
+        assert out.shape == (side, side, 3) and side == 400
+        u, v = np.meshgrid(np.arange(side), np.arange(side), indexing="xy")
+        rays = np.stack([(u - ncx) / fx, (v - ncy) / fy,
+                         np.ones_like(u, np.float64)], axis=-1)
+        expect = fisheye624.project(rays.reshape(-1, 3),
+                                    self.PARAMS).reshape(side, side, 2)
+        inside = mask[..., 0] & (expect[..., 0] > 1) & (expect[..., 1] > 1) \
+            & (expect[..., 0] < w - 2) & (expect[..., 1] < h - 2)
+        assert inside.mean() > 0.3
+        # bilinear remap of a linear ramp is exact up to interpolation
+        np.testing.assert_allclose(out[inside][:, 0], expect[inside][:, 0],
+                                   atol=0.51)
+        np.testing.assert_allclose(out[inside][:, 1], expect[inside][:, 1],
+                                   atol=0.51)
+
+    def test_thin_prism_colmap_mapping(self):
+        """THIN_PRISM_FISHEYE COLMAP params land in the right fisheye624
+        slots and tag the frame as FISHEYE624."""
+        from street_gaussians_ns_tpu.core import cameras
+        cam = colmap_io.ColmapCamera(
+            camera_id=1, model="THIN_PRISM_FISHEYE", width=512, height=512,
+            params=np.array([300.0, 301.0, 255.0, 257.0,
+                             0.1, 0.2, 0.01, 0.02, 0.3, 0.4, 0.05, 0.06]))
+        fx, fy, cx, cy, d, model = colmap_io.camera_intrinsics(cam)
+        assert model == cameras.FISHEYE624
+        assert (fx, fy, cx, cy) == (300.0, 301.0, 255.0, 257.0)
+        assert (d["k1"], d["k2"], d["k3"], d["k4"]) == (0.1, 0.2, 0.3, 0.4)
+        assert (d["p1"], d["p2"]) == (0.01, 0.02)
+        assert (d["s1"], d["s3"]) == (0.05, 0.06)
+        assert d["s2"] == d["s4"] == 0.0 and d["k5"] == d["k6"] == 0.0
