@@ -58,11 +58,15 @@ class FullImageDatamanager:
     def num_eval(self) -> int:
         return len(self.scene.eval_indices)
 
-    def _frame_to_sample(self, frame: FrameData):
+    def _frame_to_sample(self, frame: FrameData, idx: Optional[int] = None):
         camera = Camera.make(frame.fx, frame.fy, frame.cx, frame.cy,
                              frame.c2w, frame.width, frame.height,
                              time=frame.time)
         batch = {"image": frame.image, "time": np.float32(frame.time)}
+        if idx is not None:
+            # Global frame index — the camera optimizer keys its pose-delta
+            # row off this (reference CameraOptimizer indexes by camera).
+            batch["frame_idx"] = int(idx)
         if frame.mask is not None:
             batch["mask"] = frame.mask
         if frame.semantic is not None:
@@ -75,19 +79,19 @@ class FullImageDatamanager:
             self._train_order = list(self.scene.train_indices)
             self.rng.shuffle(self._train_order)
         idx = int(self._train_order.pop())
-        return self._frame_to_sample(self._cache[idx])
+        return self._frame_to_sample(self._cache[idx], idx)
 
     def next_eval(self, step: int = 0):
         if self.num_eval == 0:
             return None, None
         idx = int(self.rng.choice(self.scene.eval_indices))
-        return self._frame_to_sample(self._cache[idx])
+        return self._frame_to_sample(self._cache[idx], idx)
 
     def fixed_indices_eval(self):
         """Deterministic (camera, batch) iteration over the eval split."""
         for idx in self.scene.eval_indices:
-            yield self._frame_to_sample(self._cache[int(idx)])
+            yield self._frame_to_sample(self._cache[int(idx)], int(idx))
 
     def fixed_indices_train(self):
         for idx in self.scene.train_indices:
-            yield self._frame_to_sample(self._cache[int(idx)])
+            yield self._frame_to_sample(self._cache[int(idx)], int(idx))

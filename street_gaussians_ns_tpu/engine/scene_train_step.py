@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -56,7 +56,8 @@ def init_scene_train_state(store: SceneGraphStore, rng: jax.Array,
         opt["sky_sphere"] = init_adam(store.env_map)
     if store.delta_center.size:
         opt["bbox_opt"] = init_adam({"delta_center": store.delta_center,
-                                     "delta_yaw": store.delta_yaw})
+                                     "delta_yaw": store.delta_yaw,
+                                     "delta_rot": store.delta_rot})
     if camera_opt is not None:
         opt["camera_opt"] = init_adam(
             camera_opt,
@@ -124,6 +125,7 @@ def scene_train_step(
             env_map=env_map,
             delta_center=bbox_params["delta_center"],
             delta_yaw=bbox_params["delta_yaw"],
+            delta_rot=bbox_params["delta_rot"],
         )
         outputs, rout, _ = forward_scene(
             s, tracks, cam, state.step, config, render_config,
@@ -135,7 +137,8 @@ def scene_train_step(
     gauss_params = {name: _gaussian_group_params(store, name)
                     for name in GAUSSIAN_GROUPS}
     bbox_params = {"delta_center": store.delta_center,
-                   "delta_yaw": store.delta_yaw}
+                   "delta_yaw": store.delta_yaw,
+                   "delta_rot": store.delta_rot}
     xys_zero = jnp.zeros((n_flat, 2), jnp.float32)
 
     cam_opt_in = (state.camera_opt if use_cam_opt
@@ -188,6 +191,7 @@ def scene_train_step(
         env_map=new_env,
         delta_center=new_bbox["delta_center"],
         delta_yaw=new_bbox["delta_yaw"],
+        delta_rot=new_bbox["delta_rot"],
     )
 
     # --- densification stats per submodel (flat-buffer slicing replaces the
@@ -222,6 +226,10 @@ def scene_train_step(
         "sigmoid_opacity": jnp.sum(jnp.where(
             bg_act, jax.nn.sigmoid(bg_store.params.opacities[:, 0]), 0.0)) / n_act,
         "radii_mean": jnp.mean(rout.projected.radii.astype(jnp.float32)),
+        # True (pre-capacity) pair count — the trainer's growth rule reads
+        # this to double max_pairs before any pair is dropped (gsplat
+        # never drops, sgn_splatfacto.py:860-873).
+        "num_pairs": rout.bins.num_pairs,
         **losses,
     }
     return SceneTrainState(store=new_store, opt=new_opt,

@@ -136,7 +136,20 @@ class Trainer:
         bg, obj, self.tracks = build_stores(self.scene, scene_config,
                                             trainer_config, k_init)
         store = init_scene_graph_store(bg, obj, self.tracks, scene_config)
-        self.state = init_scene_train_state(store, k_state)
+        # Camera pose optimizer (reference mode="off", sgn_config.py:44;
+        # when enabled: one (6,) delta per TRAIN camera, grad-accum 100).
+        camera_opt = None
+        self._cam_row = {}
+        if scene_config.camera_opt_mode != "off":
+            from ..models.camera_opt import CameraOptConfig, init_camera_opt
+
+            camera_opt = init_camera_opt(CameraOptConfig(
+                mode=scene_config.camera_opt_mode,
+                num_cameras=max(self.dm.num_train, 1)))
+            self._cam_row = {int(g): i for i, g in
+                             enumerate(self.scene.train_indices)}
+        self.state = init_scene_train_state(store, k_state,
+                                            camera_opt=camera_opt)
         self.start_step = 0
 
         ckpt_dir = Path(trainer_config.output_dir) / "checkpoints"
@@ -184,6 +197,28 @@ class Trainer:
             out["semantic"] = jnp.asarray(batch["semantic"])
         return out
 
+    def _maybe_grow_pairs(self, metrics) -> bool:
+        """Pair-capacity schedule (SURVEY §7): when the true pair count
+        approaches the static capacity, double max_pairs and recompile —
+        gsplat never drops pairs (sgn_splatfacto.py:860-873), so neither
+        may we. Returns True if capacity grew (step fns invalidated)."""
+        num_pairs = int(metrics.get("num_pairs", 0))
+        cap = self.render_config.max_pairs
+        if num_pairs <= 0.9 * cap:
+            return False
+        new_cap = cap
+        while num_pairs > 0.9 * new_cap:
+            new_cap *= 2
+        self.render_config = dataclasses.replace(
+            self.render_config, max_pairs=new_cap,
+            max_rowruns=(self.render_config.max_rowruns * 2
+                         if self.render_config.max_rowruns else None))
+        self._step_fns.clear()
+        self.writer.log(
+            f"pair capacity grown {cap} -> {new_cap} "
+            f"(step saw {num_pairs} pairs); recompiling")
+        return True
+
     def train(self, num_iterations: Optional[int] = None):
         total = num_iterations or self.tc.max_num_iterations
         refine_every = self.config.background.refine_every
@@ -191,13 +226,25 @@ class Trainer:
         for step in range(self.start_step, total):
             camera, batch = self.dm.next_train(step)
             fn = self._step_fn(camera.height, camera.width, step)
-            self.state, metrics = fn(self.state, self.tracks, camera,
-                                     self._device_batch(batch))
+            if self.state.camera_opt is not None:
+                row = self._cam_row.get(batch.get("frame_idx", -1), 0)
+                self.state, metrics = fn(
+                    self.state, self.tracks, camera,
+                    self._device_batch(batch),
+                    camera_index=jnp.int32(row))
+            else:
+                self.state, metrics = fn(self.state, self.tracks, camera,
+                                         self._device_batch(batch))
             if (step + 1) % refine_every == 0:
                 max_hw = jnp.float32(max(camera.height, camera.width))
                 self.state, info = self._refine_fn(self.state, max_hw=max_hw)
                 metrics.update(info)
             if step % 10 == 0:
+                # Capacity check rides the 10-step metric sync (the int()
+                # blocks on the device; pair counts move on the refine
+                # cadence, so 10-step granularity never drops pairs with
+                # the 0.9 headroom rule).
+                self._maybe_grow_pairs(metrics)
                 m = {k: float(v) for k, v in metrics.items()
                      if jnp.ndim(v) == 0}
                 dt = time.time() - t_last
@@ -220,6 +267,9 @@ class Trainer:
                 self.viewer.service(self._viewer_render)
             if (step + 1) % self.tc.steps_per_eval_image == 0:
                 self.eval_image(step)
+            if ((step + 1) % self.tc.steps_per_eval_all_images == 0
+                    or step + 1 == total):
+                self.eval_all_images(step)
             if (step + 1) % self.tc.steps_per_save == 0 or step + 1 == total:
                 path = save_checkpoint(self.ckpt_dir, step + 1, self.state)
                 self.writer.log(f"saved {path}")
@@ -248,19 +298,45 @@ class Trainer:
         rgb = np.asarray(jnp.clip(outputs["rgb"], 0.0, 1.0))
         return (rgb * 255).astype(np.uint8)
 
+    def _eval_fn(self):
+        # Cached like _step_fns — a fresh jax.jit per call would retrace
+        # every eval (the compile cache keys on the callable identity).
+        key = ("eval", self.render_config.max_pairs)
+        if key not in self._step_fns:
+            self._step_fns[key] = jax.jit(functools.partial(
+                forward_scene, config=self.config,
+                render_config=self.render_config, training=False))
+        return self._step_fns[key]
+
+    def _eval_one(self, camera, batch):
+        outputs, _, _ = self._eval_fn()(self.state.store, self.tracks,
+                                        camera, self.state.step)
+        gt = jnp.asarray(batch["image"])
+        return {"psnr": float(psnr(outputs["rgb"], gt)),
+                "ssim": float(ssim(gt, outputs["rgb"]))}
+
     def eval_image(self, step: int):
         camera, batch = self.dm.next_eval(step)
         if camera is None:
             return {}
-        outputs, _, _ = jax.jit(
-            functools.partial(forward_scene, config=self.config,
-                              render_config=self.render_config,
-                              training=False)
-        )(self.state.store, self.tracks, camera, self.state.step)
-        gt = jnp.asarray(batch["image"])
-        m = {"psnr": float(psnr(outputs["rgb"], gt)),
-             "ssim": float(ssim(gt, outputs["rgb"]))}
+        m = self._eval_one(camera, batch)
         self.writer.write(step, m, prefix="eval")
         self.writer.log(f"eval @ {step}: psnr={m['psnr']:.2f} "
                         f"ssim={m['ssim']:.4f}")
+        return m
+
+    def eval_all_images(self, step: int):
+        """Full-eval over the whole eval split (the reference's
+        steps_per_eval_all_images=30000 cadence, sgn_config.py:24-27)."""
+        if self.dm.num_eval == 0:
+            return {}
+        rows = [self._eval_one(camera, batch)
+                for camera, batch in self.dm.fixed_indices_eval()]
+        m = {f"all_{k}": float(np.mean([r[k] for r in rows]))
+             for k in rows[0]}
+        m["all_images"] = len(rows)
+        self.writer.write(step, m, prefix="eval")
+        self.writer.log(
+            f"full eval @ {step} ({len(rows)} images): "
+            f"psnr={m['all_psnr']:.2f} ssim={m['all_ssim']:.4f}")
         return m

@@ -49,7 +49,15 @@ class SceneGraphConfig:
         reset_alpha_every=30, stop_split_at=25000, fourier_features_dim=5,
         num_random=10000, use_sky_sphere=False)
     object_acc_entropy_loss_mult: float = 0.001
-    bbox_mode: str = "simple"           # "off" | "simple"
+    # BBox pose optimizer modes (bbox_optimizers.py:32): "off" | "simple"
+    # (Δcenter + Δyaw) | "SO3xR3" | "SE3" (6-dof exp-map deltas). Quirk
+    # replicated from the reference: apply_to_bbox .detach()es the
+    # correction into the Box in EVERY mode (:158-164 for simple,
+    # :152-157 for SO3xR3/SE3), and get_loss_dict's regularizer is never
+    # called by the model — so no gradient ever reaches these params in
+    # the shipped config. bbox_differentiable=True fixes that behind a
+    # flag (gradients flow into delta_center/delta_rot/delta_yaw).
+    bbox_mode: str = "simple"           # "off" | "simple" | "SO3xR3" | "SE3"
     bbox_differentiable: bool = False   # reference detaches (inert) — see C9
     # Camera pose optimizer (reference default mode="off", sgn_config
     # :44; grad-accum 100 when enabled): "off" | "SO3xR3" | "SE3".
@@ -108,6 +116,8 @@ def interpolate_boxes(
     delta_center: Optional[jax.Array] = None,  # (F, O, 3)
     delta_yaw: Optional[jax.Array] = None,     # (F, O)
     differentiable: bool = False,
+    mode: str = "simple",                      # "simple"|"SO3xR3"|"SE3"
+    delta_rot: Optional[jax.Array] = None,     # (F, O, 3) omega (exp modes)
 ) -> BoxesAtT:
     """Boxes at camera time t: exact frame if t matches, else SLERP/lerp
     between bracketing frames over the intersection of live tracks
@@ -115,7 +125,16 @@ def interpolate_boxes(
     156-171). Out-of-range times yield no visible boxes (:271-273).
 
     The bbox-opt delta is applied only at exact annotated frames, matching
-    the reference's exist_frame gate (scene_graph:333-341)."""
+    the reference's exist_frame gate (scene_graph:333-341).
+
+    Modes (bbox_optimizers.py:120-166): "simple" adds Δcenter and
+    post-multiplies a yaw quaternion; "SO3xR3"/"SE3" build a correction
+    from the exp map of the 6-dof tangent [delta_center | delta_rot] and
+    apply center += correction[:3, 3], R = correction[:3, :3] @ R
+    (premultiply; the translation is NOT rotated, :152-155). We do not
+    replicate the reference's latent double-index bug
+    (`correction_matrix[bbox_idx]` at :152 after forward() already
+    selected the box)."""
     F = tracks.num_frames
     times = tracks.times
     i1 = jnp.clip(jnp.searchsorted(times, t, side="left"), 0, F - 1)
@@ -146,22 +165,42 @@ def interpolate_boxes(
                        1.0)
 
     # bbox-opt deltas at exact annotated frames only.
-    if delta_center is not None and delta_yaw is not None:
+    if delta_center is not None and mode != "off":
         fi = jnp.where(exact1, i1, i0)
         at_exact = exact1 | (w <= 0.0)
+        gate = jnp.where(at_exact, 1.0, 0.0)
         dc = delta_center[fi]                              # (O, 3)
-        dy = delta_yaw[fi]                                 # (O,)
         if not differentiable:
-            # Reference quirk: "simple" mode .detach()es the deltas into the
-            # box (bbox_optimizers.py:158-164), so no gradient ever reaches
-            # them — replicated behind the flag.
+            # Reference quirk: apply_to_bbox .detach()es the correction
+            # into the box in every mode (bbox_optimizers.py:152-164), so
+            # no gradient ever reaches the params — replicated behind the
+            # flag.
             dc = jax.lax.stop_gradient(dc)
-            dy = jax.lax.stop_gradient(dy)
-        centers = centers + jnp.where(at_exact, 1.0, 0.0) * dc
-        dyaw = jnp.where(at_exact, dy, 0.0)
-        dq = jnp.stack([jnp.cos(dyaw), jnp.zeros_like(dyaw),
-                        jnp.zeros_like(dyaw), jnp.sin(dyaw)], axis=-1)
-        quats = quat.multiply(quats, dq)
+        if mode in ("SO3xR3", "SE3") and delta_rot is not None:
+            from .camera_opt import exp_map_SE3, exp_map_SO3xR3
+
+            dr = delta_rot[fi]                             # (O, 3)
+            if not differentiable:
+                dr = jax.lax.stop_gradient(dr)
+            tangent = jnp.concatenate([dc, dr], axis=-1) * gate[..., None]
+            corr = (exp_map_SO3xR3(tangent) if mode == "SO3xR3"
+                    else exp_map_SE3(tangent))             # (O, 3, 4)
+            # center += correction translation (not rotated, :152-155);
+            # rotation premultiplied: R' = corr_R @ R.
+            centers = centers + corr[..., :3, 3]
+            quats = quat.multiply(quat.from_rotmat(corr[..., :3, :3]),
+                                  quats)
+        else:
+            dy = delta_yaw[fi] if delta_yaw is not None else None  # (O,)
+            if dy is None:
+                dy = jnp.zeros(centers.shape[:-1], jnp.float32)
+            elif not differentiable:
+                dy = jax.lax.stop_gradient(dy)
+            centers = centers + gate[..., None] * dc
+            dyaw = dy * gate
+            dq = jnp.stack([jnp.cos(dyaw), jnp.zeros_like(dyaw),
+                            jnp.zeros_like(dyaw), jnp.sin(dyaw)], axis=-1)
+            quats = quat.multiply(quats, dq)
 
     return BoxesAtT(centers=centers, quats=quats, visible=visible,
                     t_norm=t_norm)
@@ -173,8 +212,9 @@ class SceneGraphStore:
     background: GaussianStore
     objects: GaussianStore          # leaves have leading (O,) axis
     env_map: Optional[jax.Array]
-    delta_center: jax.Array         # (F, O, 3) bbox-opt
-    delta_yaw: jax.Array            # (F, O)
+    delta_center: jax.Array         # (F, O, 3) bbox-opt translation / rho
+    delta_yaw: jax.Array            # (F, O)    "simple" mode yaw
+    delta_rot: jax.Array            # (F, O, 3) SO3xR3/SE3 mode omega
 
     @property
     def num_objects(self) -> int:
@@ -200,6 +240,7 @@ def compose(
     tracks: ObjectTracks,
     time: jax.Array,
     training: bool = True,
+    config: Optional[SceneGraphConfig] = None,
 ):
     """Flatten background + posed objects into one splat set.
 
@@ -212,10 +253,15 @@ def compose(
     obj = store.objects
     O = store.num_objects
 
+    mode = config.bbox_mode if config is not None else "simple"
+    diff = config.bbox_differentiable if config is not None else False
     boxes = interpolate_boxes(
         tracks, time,
         delta_center=store.delta_center if store.delta_center.size else None,
         delta_yaw=store.delta_yaw if store.delta_yaw.size else None,
+        delta_rot=store.delta_rot if store.delta_rot.size else None,
+        mode=mode,
+        differentiable=diff,
     )
     means_w, quats_w = object2world(obj.params.means, obj.params.quats, boxes)
 
@@ -261,7 +307,8 @@ def forward_scene(
     optimization the trainer applies while the entropy loss is inactive
     (step <= background.stop_split_at; the reference wastefully renders
     them every step, scene_graph:364-366)."""
-    flat, active, boxes = compose(store, tracks, camera.time, training)
+    flat, active, boxes = compose(store, tracks, camera.time, training,
+                                  config=config)
     cap_bg = store.background.capacity
 
     rgbs = sh_colors(flat["means"], flat["features_dc_t"],
@@ -345,4 +392,5 @@ def init_scene_graph_store(
         env_map=env,
         delta_center=jnp.zeros((F, O, 3), jnp.float32),
         delta_yaw=jnp.zeros((F, O), jnp.float32),
+        delta_rot=jnp.zeros((F, O, 3), jnp.float32),
     )

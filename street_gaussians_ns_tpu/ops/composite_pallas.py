@@ -77,6 +77,28 @@ NFEAT = 16                 # feature rows per chunk block
 GRAD_PACK_BF16 = True
 
 
+def _tri_matmul_bf16x3(x, tri_bf16):
+    """x @ tri as three bf16 MXU passes, f32 accumulate — numerically
+    ~f32-matmul-grade but at the bf16 MXU rate (~8x f32 on v5e; 3 passes
+    => ~2.6x net). Exact term stacking: x = hi + r1 + r2 with each term
+    exactly representable in bf16, and tri's entries are 0/1 (exact), so
+    every product is exact; only the f32 accumulation order differs from
+    the f32 matmul. The same trick the binning expansions use
+    (ops.expand_pallas). The triangular cumsum matmuls are the dominant
+    MXU cost of both composite kernels (8.4 MFLOP per 128-pair chunk)."""
+    hi = x.astype(jnp.bfloat16)
+    r = x - hi.astype(jnp.float32)
+    r1 = r.astype(jnp.bfloat16)
+    r2 = (r - r1.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+
+    def mm(a):
+        return jax.lax.dot_general(a, tri_bf16, dimension_numbers=dn,
+                                   preferred_element_type=jnp.float32)
+
+    return mm(hi) + (mm(r1) + mm(r2))
+
+
 def _pixel_coords(t, ntx):
     """Tile t's pixel centers split into tile-LOCAL constants + origin:
     ((px_r, py_r) two (PIX, 1) f32 columns in [0.5, 15.5], (tx0, ty0)
@@ -167,14 +189,12 @@ def _composite_chunk_masks(T_in, done_in, alpha, skip):
     k = alpha.shape[1]
     tri = (jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
            <= jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
-           ).astype(jnp.float32)
+           ).astype(jnp.bfloat16)
     active = (~skip) & (~jnp.broadcast_to(done_in, skip.shape))
     a_eff = jnp.where(active, alpha, 0.0)
     om = 1.0 - a_eff
     logs = jnp.log1p(-a_eff)
-    cum = jax.lax.dot_general(
-        logs, tri, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    cum = _tri_matmul_bf16x3(logs, tri)
     T_naive = T_in * jnp.exp(cum)
     done = T_naive <= T_EPS
     contributes = active & (~done)
@@ -221,7 +241,9 @@ def _fwd_kernel(ntx_ref, starts_ref, counts_ref, feat_hbm,
     row0 = start // K
     phi = start % K
     n_chunks = pl.cdiv(count, K)
-    pxy, txy = _pixel_coords(t, ntx)
+    # ntx_ref[1] = global tile id of grid step 0 (a strip offset when a
+    # model shard composites only its contiguous tile range; 0 otherwise).
+    pxy, txy = _pixel_coords(t + ntx_ref[1], ntx)
 
     def ring_dma(u):
         r0 = starts_ref[u] // K
@@ -346,7 +368,7 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
     phi = start % K
     r_end = (start + count) // K
     n_chunks = nbwd_ref[t]
-    pxy, txy = _pixel_coords(t, ntx)
+    pxy, txy = _pixel_coords(t + ntx_ref[1], ntx)   # strip offset, see fwd
     lane = jax.lax.broadcasted_iota(jnp.int32, (NFEAT, K), 1)
 
     @pl.when(t == 0)
@@ -405,10 +427,11 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
     kcol = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     ones_p = jnp.ones((PIX, 1), jnp.float32)
     # Inclusive lane-cumsum as one (PIX,K)x(K,K) MXU contraction with an
-    # upper-triangular ones matrix (7 roll+add rounds on the VPU -> 1 MXU op).
+    # upper-triangular ones matrix (7 roll+add rounds on the VPU -> 1 MXU
+    # op), run at the bf16 rate via exact term stacking.
     tri = (jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
            <= jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
-           ).astype(jnp.float32)
+           ).astype(jnp.bfloat16)
 
     # Loop state in scratch (see _fwd_kernel): [T, done, prefix_u].
     state[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
@@ -468,9 +491,7 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
             g_accum_r, colors, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         u = gdotc * w
-        cum_u = jax.lax.dot_general(
-            u, tri, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        cum_u = _tri_matmul_bf16x3(u, tri)
         gS = gdotacc - prefix_u - cum_u
         om = 1.0 - a_c
         dL_da = jnp.where(contributes,
@@ -801,7 +822,7 @@ def _reduce_pair_grads_ranked(gpair: jax.Array, starts: jax.Array,
 
 
 def _fwd_call(feat, starts, counts, ntx, num_tiles: int, nc: int,
-              interpret: bool = False):
+              interpret: bool = False, tile0=0):
     kernel = functools.partial(_fwd_kernel, nc=nc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -832,14 +853,15 @@ def _fwd_call(feat, starts, counts, ntx, num_tiles: int, nc: int,
             jax.ShapeDtypeStruct((num_tiles, 1, PIX), jnp.int32),
         ),
         interpret=interpret,
-    )(jnp.asarray([ntx], jnp.int32), starts, counts, feat)
+    )(jnp.stack([jnp.asarray(ntx, jnp.int32),
+                 jnp.asarray(tile0, jnp.int32)]), starts, counts, feat)
     # (T, C, PIX) -> (T, PIX, C) outside the kernel (free in XLA).
     return accum.transpose(0, 2, 1), tfin[:, 0, :], ncon[:, 0, :]
 
 
 def _bwd_call(feat, starts, counts, nbwd, gpair_rows: int, ntx,
               num_tiles: int, nc: int, g_accum, aux,
-              interpret: bool = False, with_rank: bool = False):
+              interpret: bool = False, with_rank: bool = False, tile0=0):
     kernel = functools.partial(_bwd_kernel, nc=nc, with_rank=with_rank)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -872,7 +894,8 @@ def _bwd_call(feat, starts, counts, nbwd, gpair_rows: int, ntx,
         interpret=interpret,
         input_output_aliases={7: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(jnp.asarray([ntx], jnp.int32), starts, counts, nbwd,
+    )(jnp.stack([jnp.asarray(ntx, jnp.int32),
+                 jnp.asarray(tile0, jnp.int32)]), starts, counts, nbwd,
       feat, g_accum, aux, gpair_init)
     return gpair
 
@@ -986,6 +1009,79 @@ def rasterize_tiles_pallas(
         width, height, xys.shape[0], interpret)
     img = img + (1.0 - alpha[..., None]) * background[None, None, :]
     return img, alpha
+
+
+# ---------------------------------------------------------------------------
+# Tile-strip compositing (the sharded path: each model shard composites a
+# contiguous range of tiles with the SAME Pallas kernels).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def rasterize_pallas_strip_core(xys, conics, colors, opacities, bins,
+                                tile0f, n_tiles: int, ntx: int,
+                                num_gaussians: int, interpret: bool = False):
+    """Composite tiles [tile0, tile0 + n_tiles) of a binned scene and
+    return TILE-layout outputs (accum (n_tiles, PIX, C), alpha
+    (n_tiles, PIX)). tile0f is a traced f32 scalar (device-varying inside
+    shard_map — each model column passes its own strip origin; f32 so its
+    zero cotangent is dtype-legal). The backward runs the strip's tiles
+    through the same replay kernel and reduces per-gaussian gradients over
+    the strip's pairs only (rows outside the strip stay zero via the
+    aliased zero-init); the caller's collective transpose (all_gather <->
+    psum_scatter over 'model') then sums strips into full gradients."""
+    out, _ = _strip_fwd(xys, conics, colors, opacities, bins, tile0f,
+                        n_tiles, ntx, num_gaussians, interpret)
+    return out
+
+
+def _strip_fwd(xys, conics, colors, opacities, bins, tile0f, n_tiles, ntx,
+               num_gaussians, interpret):
+    nc = colors.shape[-1]
+    tile0 = tile0f.astype(jnp.int32)
+    feat = _build_feat(xys, conics, colors, opacities, bins)
+    starts = jax.lax.dynamic_slice(bins.tile_start, (tile0,), (n_tiles,))
+    counts = jax.lax.dynamic_slice(bins.tile_count, (tile0,), (n_tiles,))
+    accum, tfin, ncon = _fwd_call(feat, starts, counts, ntx, n_tiles, nc,
+                                  interpret, tile0=tile0)
+    residuals = (bins, feat, accum, tfin, ncon, starts, counts, tile0)
+    return (accum, 1.0 - tfin), residuals
+
+
+def _strip_bwd(n_tiles, ntx, num_gaussians, interpret, residuals,
+               cotangents):
+    (bins, feat, accum, tfin, ncon, starts, counts, tile0) = residuals
+    g_accum, g_alpha = cotangents
+    nc = accum.shape[-1]
+    max_pairs = bins.gauss_idx.shape[0]
+    g_t = -g_alpha                                       # alpha = 1 - T
+    gdotacc = jnp.sum(g_accum * accum, axis=-1)
+    aux = jnp.stack([g_t, tfin, ncon.astype(jnp.float32), gdotacc],
+                    axis=1)                              # (T, 4, PIX)
+    nchunks_bwd = jnp.minimum(
+        (counts + K - 1) // K,
+        (jnp.max(ncon, axis=1) + K - 1) // K).astype(jnp.int32)
+    gpair = _bwd_call(feat, starts, counts, nchunks_bwd, max_pairs // K + 1,
+                      ntx, n_tiles, nc, g_accum.transpose(0, 2, 1), aux,
+                      interpret, tile0=tile0)
+    seg = _reduce_pair_grads(gpair, bins, num_gaussians, nc, interpret)
+    return (seg[:, 0:2], seg[:, 2:5], seg[:, 6:6 + nc], seg[:, 5], None,
+            jnp.zeros((), jnp.float32))
+
+
+rasterize_pallas_strip_core.defvjp(_strip_fwd, _strip_bwd)
+
+
+def composite_tiles_pallas(xys, conics, colors, opacities, bins: TileBins,
+                           tile0, n_tiles: int,
+                           interpret: bool = False):
+    """Strip peer of ops.composite_chunked.composite_tiles for CONTIGUOUS
+    tile ranges: full Pallas kernels, no per-tile splat cap, no truncation.
+    Returns (accum (n_tiles, PIX, C), alpha (n_tiles, PIX))."""
+    return rasterize_pallas_strip_core(
+        xys, conics, colors.astype(jnp.float32), opacities, bins,
+        jnp.asarray(tile0, jnp.float32), n_tiles, bins.num_tiles_x,
+        xys.shape[0], interpret)
 
 
 # ---------------------------------------------------------------------------

@@ -109,6 +109,9 @@ def sharded_scene_loss(
             tracks, camera.time,
             delta_center=bbox["delta_center"] if bbox else None,
             delta_yaw=bbox["delta_yaw"] if bbox else None,
+            delta_rot=bbox["delta_rot"] if bbox else None,
+            mode=config.bbox_mode,
+            differentiable=config.bbox_differentiable,
         )
         o_means, o_quats = object2world(obj["means"], obj["quats"], boxes)
         o_dc = jax.vmap(fourier_dc)(obj["features_dc"], boxes.t_norm)
@@ -184,7 +187,19 @@ def sharded_scene_loss(
         m_idx = jax.lax.axis_index("model")
         my_tiles = m_idx * tl + jnp.arange(tl, dtype=jnp.int32)
 
+        use_pallas = render_config.impl == "pallas" and ts == 16
+
         def strip(opac_in, colors_in):
+            if use_pallas:
+                # Production kernels inside shard_map: contiguous strip =
+                # [m_idx*tl, (m_idx+1)*tl), no per-tile cap, no truncation
+                # (composite_chunked silently drops splats past
+                # max_per_tile — wrong at Waymo scale).
+                from ..ops.composite_pallas import composite_tiles_pallas
+                return composite_tiles_pallas(
+                    pr.xys, pr.conics, colors_in, opac_in, bins_pad,
+                    m_idx * tl, tl,
+                    interpret=jax.default_backend() != "tpu")
             accum, alpha = composite_tiles(
                 pr.xys, pr.conics, colors_in, opac_in, bins_pad, my_tiles,
                 ts, render_config.max_per_tile, render_config.chunk)
@@ -246,7 +261,7 @@ def sharded_scene_loss(
     in_specs = (
         gauss_spec,                 # params + active masks
         P(),                        # env map
-        {"delta_center": P(), "delta_yaw": P()},
+        {"delta_center": P(), "delta_yaw": P(), "delta_rot": P()},
         P("model"),                 # xys offset bg
         P(),                        # xys offset obj
         P(),                        # tracks
@@ -294,7 +309,8 @@ def make_sharded_train_step(
         gauss_in["active"] = {"bg_active": store.background.active,
                               "obj_active": store.objects.active}
         bbox = {"delta_center": store.delta_center,
-                "delta_yaw": store.delta_yaw}
+                "delta_yaw": store.delta_yaw,
+                "delta_rot": store.delta_rot}
         off_bg = jnp.zeros((cap_bg, 2), jnp.float32)
         off_obj = jnp.zeros((n_obj, cap_obj, 2), jnp.float32)
 
@@ -345,6 +361,7 @@ def make_sharded_train_step(
             env_map=new_env,
             delta_center=new_bbox["delta_center"],
             delta_yaw=new_bbox["delta_yaw"],
+            delta_rot=new_bbox["delta_rot"],
         )
 
         # Densification stats: radii maxed over data rows (a gaussian is
