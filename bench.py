@@ -59,6 +59,10 @@ def main():
         max_per_tile=4096 if on_tpu else 512,
         chunk=64 if on_tpu else 32,
         impl=impl,
+        # Production precision: conics/opacity/colors ride the binning
+        # sorts as bf16 pairs (~2^-8 relative rounding, sub-1e-2 on RGB;
+        # xy and ordering exact) — see RenderConfig.precision.
+        precision="bf16" if on_tpu else "f32",
     )
     means, scales, quats, opac, rgbs = make_scene(n)
     cam = Camera.make(1200.0, 1200.0, w / 2, h / 2, jnp.eye(3, 4), w, h)

@@ -230,6 +230,7 @@ def scene_train_step(
         # this to double max_pairs before any pair is dropped (gsplat
         # never drops, sgn_splatfacto.py:860-873).
         "num_pairs": rout.bins.num_pairs,
+        "num_rowruns": rout.bins.num_rowruns,
         **losses,
     }
     return SceneTrainState(store=new_store, opt=new_opt,

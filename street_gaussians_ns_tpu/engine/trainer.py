@@ -163,7 +163,11 @@ class Trainer:
 
         self.render_config = RenderConfig(
             max_pairs=trainer_config.max_pairs,
-            impl=trainer_config.render_impl)
+            impl=trainer_config.render_impl,
+            # Pallas kernels need interpret mode off-TPU (CPU tests, dry
+            # runs); compiled on the real chip.
+            interpret=(trainer_config.render_impl == "pallas"
+                       and jax.default_backend() != "tpu"))
         self._step_fns = {}
         self._refine_fn = jax.jit(functools.partial(
             scene_refine_step, config=self.config,
@@ -198,45 +202,67 @@ class Trainer:
         return out
 
     def _maybe_grow_pairs(self, metrics) -> bool:
-        """Pair-capacity schedule (SURVEY §7): when the true pair count
-        approaches the static capacity, double max_pairs and recompile —
-        gsplat never drops pairs (sgn_splatfacto.py:860-873), so neither
-        may we. Returns True if capacity grew (step fns invalidated)."""
+        """Pair-capacity schedule (SURVEY §7): when the true pair count OR
+        the true rowrun count approaches its static capacity, double
+        max_pairs/max_rowruns and recompile — gsplat never drops pairs
+        (sgn_splatfacto.py:860-873), so neither may we. Both counts are
+        capacity-independent (ops.tiles.TileBins.num_pairs/num_rowruns),
+        so overflow is detected even in the very step it happens.
+        Returns True if capacity grew (step fns invalidated)."""
         num_pairs = int(metrics.get("num_pairs", 0))
+        num_rowruns = int(metrics.get("num_rowruns", 0))
         cap = self.render_config.max_pairs
-        if num_pairs <= 0.9 * cap:
+        rcap = self.render_config.max_rowruns or cap // 2
+        if num_pairs <= 0.9 * cap and num_rowruns <= 0.9 * rcap:
             return False
         new_cap = cap
         while num_pairs > 0.9 * new_cap:
             new_cap *= 2
+        new_rcap = rcap
+        while num_rowruns > 0.9 * new_rcap:
+            new_rcap *= 2
+        new_rcap = max(new_rcap, new_cap // 2)
         self.render_config = dataclasses.replace(
-            self.render_config, max_pairs=new_cap,
-            max_rowruns=(self.render_config.max_rowruns * 2
-                         if self.render_config.max_rowruns else None))
-        self._step_fns.clear()
+            self.render_config, max_pairs=new_cap, max_rowruns=new_rcap)
+        self._invalidate_step_fns()
         self.writer.log(
             f"pair capacity grown {cap} -> {new_cap} "
             f"(step saw {num_pairs} pairs); recompiling")
         return True
+
+    def _invalidate_step_fns(self):
+        """Drop compiled step fns (pair-capacity growth recompiles).
+        Subclasses with their own caches extend this."""
+        self._step_fns.clear()
+
+    def _run_step(self, step: int):
+        """One training step: fetch data, dispatch the jitted step.
+        THE subclass override point (ShardedTrainer swaps in the
+        shard_mapped step); everything around it — refine cadence, pair
+        growth, metrics, viewer, evals, saves — is the shared loop in
+        `train` and must not be duplicated."""
+        camera, batch = self.dm.next_train(step)
+        fn = self._step_fn(camera.height, camera.width, step)
+        if self.state.camera_opt is not None:
+            row = self._cam_row.get(batch.get("frame_idx", -1), 0)
+            self.state, metrics = fn(
+                self.state, self.tracks, camera,
+                self._device_batch(batch),
+                camera_index=jnp.int32(row))
+        else:
+            self.state, metrics = fn(self.state, self.tracks, camera,
+                                     self._device_batch(batch))
+        self._last_hw = (camera.height, camera.width)
+        return metrics
 
     def train(self, num_iterations: Optional[int] = None):
         total = num_iterations or self.tc.max_num_iterations
         refine_every = self.config.background.refine_every
         t_last = time.time()
         for step in range(self.start_step, total):
-            camera, batch = self.dm.next_train(step)
-            fn = self._step_fn(camera.height, camera.width, step)
-            if self.state.camera_opt is not None:
-                row = self._cam_row.get(batch.get("frame_idx", -1), 0)
-                self.state, metrics = fn(
-                    self.state, self.tracks, camera,
-                    self._device_batch(batch),
-                    camera_index=jnp.int32(row))
-            else:
-                self.state, metrics = fn(self.state, self.tracks, camera,
-                                         self._device_batch(batch))
+            metrics = self._run_step(step)
             if (step + 1) % refine_every == 0:
-                max_hw = jnp.float32(max(camera.height, camera.width))
+                max_hw = jnp.float32(max(*self._last_hw))
                 self.state, info = self._refine_fn(self.state, max_hw=max_hw)
                 metrics.update(info)
             if step % 10 == 0:

@@ -757,6 +757,11 @@ def _reduce_pair_grads_ranked(gpair: jax.Array, starts: jax.Array,
 
     nrows = gpair.shape[0]
     ng = 10
+    # Two compaction levels: the rank sort dominates the reduce, so
+    # sorting 1/3 of the rows instead of 1/2 when the live set allows
+    # (typical at bench scale: ~33% live) is a direct win; the 1/2 level
+    # and the full fallback keep correctness for denser scenes.
+    cap_small = max(256, (nrows // 3 + 7) // 8 * 8)
     cap = max(256, (nrows // 2 + 7) // 8 * 8)
     row0 = jnp.where(nbwd > 0, starts // K, nrows)
     row1 = jnp.where(nbwd > 0, jnp.minimum(row0 + nbwd + 1, nrows), nrows)
@@ -807,14 +812,40 @@ def _reduce_pair_grads_ranked(gpair: jax.Array, starts: jax.Array,
         return rank_rowsum(rows11, rank_s, num_gaussians, interpret)
 
     if cap < nrows:
-        rank_sums = jax.lax.cond(
-            n_live <= cap,
-            lambda gp: reduce_rows(gp[order[:cap]]),
-            lambda gp: reduce_rows(gp),
-            gpair)
+        def mid(gp):
+            return jax.lax.cond(
+                n_live <= cap,
+                lambda g: reduce_rows(g[order[:cap]]),
+                lambda g: reduce_rows(g),
+                gp)
+
+        if cap_small < cap:
+            rank_sums = jax.lax.cond(
+                n_live <= cap_small,
+                lambda gp: reduce_rows(gp[order[:cap_small]]),
+                mid, gpair)
+        else:
+            rank_sums = mid(gpair)
     else:
         rank_sums = reduce_rows(gpair)
-    # depth_order is a permutation (unique keys): stability irrelevant.
+    # rank -> original order; depth_order is a permutation (unique keys):
+    # stability irrelevant. On TPU the 10 per-gaussian sum columns ride
+    # as 5 bf16 pairs (same policy as GRAD_PACK_BF16 — per-pair values
+    # already rounded to bf16 upstream, so this adds ~2^-8 once more on
+    # the SUMS; tests compare the f32 path).
+    if GRAD_PACK_BF16 and (
+            jax.default_backend() == "tpu" or GRAD_PACK_BF16 == "force"):
+        from .packing import pack2, unpack2
+
+        pk = [pack2(rank_sums[2 * j], rank_sums[2 * j + 1])
+              for j in range(5)]
+        out = jax.lax.sort((depth_order,) + tuple(pk), num_keys=1,
+                           is_stable=False)
+        cols = []
+        for j in range(5):
+            a, b = unpack2(out[1 + j])
+            cols += [a, b]
+        return jnp.stack(cols, axis=-1)
     out = jax.lax.sort(
         (depth_order,) + tuple(rank_sums[j] for j in range(ng)),
         num_keys=1, is_stable=False)
@@ -1151,12 +1182,13 @@ def _pack_feat_cols(feats, max_pairs: int, interpret: bool = False):
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def rasterize_pallas_fused_core(xys, conics, colors, opacities,
                                 depth_key, tile_box,
                                 width: int, height: int, max_pairs: int,
                                 max_rowruns, interpret: bool = False,
-                                last_color_is_depth: bool = False):
+                                last_color_is_depth: bool = False,
+                                precision: str = "f32"):
     """Binning + feature threading + compositing under ONE custom_vjp, so
     the payload sorts / Pallas expansions that move the differentiable
     feature columns are never autodiffed (their transpose would be the
@@ -1166,13 +1198,13 @@ def rasterize_pallas_fused_core(xys, conics, colors, opacities,
     compositor exactly as in `rasterize_pallas_core`."""
     out, _ = _fused_fwd(xys, conics, colors, opacities, depth_key,
                         tile_box, width, height, max_pairs, max_rowruns,
-                        interpret, last_color_is_depth)
+                        interpret, last_color_is_depth, precision)
     return out
 
 
 def _fused_fwd(xys, conics, colors, opacities, depth_key, tile_box,
                width, height, max_pairs, max_rowruns, interpret,
-               last_color_is_depth=False):
+               last_color_is_depth=False, precision="f32"):
     from .tiles import bin_and_pack
 
     ntx = (width + TILE - 1) // TILE
@@ -1183,7 +1215,7 @@ def _fused_fwd(xys, conics, colors, opacities, depth_key, tile_box,
         xys, conics, tile_box, depth_key, colors.astype(jnp.float32),
         opacities, width, height, TILE, max_pairs, max_rowruns,
         interpret=interpret, with_gauss_idx=False,
-        last_color_is_depth=last_color_is_depth)
+        last_color_is_depth=last_color_is_depth, precision=precision)
     feat = _pack_feat_cols(feats, max_pairs, interpret=interpret)
     accum, tfin, ncon = _fwd_call(feat, bins.tile_start, bins.tile_count,
                                   ntx, num_tiles, nc, interpret)
@@ -1194,7 +1226,7 @@ def _fused_fwd(xys, conics, colors, opacities, depth_key, tile_box,
 
 
 def _fused_bwd(width, height, max_pairs, max_rowruns, interpret,
-               last_color_is_depth, residuals, cotangents):
+               last_color_is_depth, precision, residuals, cotangents):
     (bins, feat, accum, tfin, ncon) = residuals
     num_gaussians = bins.depth_order.shape[0]
     g_img, g_alpha, _ = cotangents
@@ -1221,6 +1253,7 @@ def rasterize_tiles_pallas_fused(
     max_rowruns=None,
     interpret: bool = False,
     last_color_is_depth: bool = False,
+    precision: str = "f32",
 ):
     """Production bin+composite: returns (img, alpha, bins)."""
     assert tile_size == TILE, "Pallas kernel is specialized to 16x16 tiles"
@@ -1231,6 +1264,6 @@ def rasterize_tiles_pallas_fused(
     img, alpha, bins = rasterize_pallas_fused_core(
         proj.xys, proj.conics, colors.astype(jnp.float32), opacities,
         depth_key, proj.tile_box.astype(jnp.float32), width, height,
-        max_pairs, max_rowruns, interpret, last_color_is_depth)
+        max_pairs, max_rowruns, interpret, last_color_is_depth, precision)
     img = img + (1.0 - alpha[..., None]) * background[None, None, :]
     return img, alpha, bins

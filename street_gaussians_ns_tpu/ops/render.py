@@ -46,6 +46,14 @@ class RenderConfig:
     chunk: int = 32                # splats per compositing chunk
     impl: str = "chunked"          # "chunked" | "scan" | "pallas"
     depth_far_fill: float = 10.0   # sgn_splatfacto.py:996
+    interpret: bool = False        # run Pallas kernels in interpret mode
+    #                                (required for impl="pallas" off-TPU)
+    precision: str = "f32"         # "f32" (exact) | "bf16": conics/
+    #                                opacity/colors ride the binning sorts
+    #                                as bf16 pairs (~12 ms less per bench
+    #                                step; ~2^-8 relative rounding —
+    #                                sub-1e-2 on rendered RGB). xy and
+    #                                ordering stay exact in both modes.
 
 
 @jax.tree_util.register_dataclass
@@ -76,8 +84,9 @@ def rasterize(
         img, alpha, bins = rasterize_tiles_pallas_fused(
             proj, colors, opacities, camera.width, camera.height,
             config.tile_size, background, config.max_pairs,
-            config.max_rowruns,
-            last_color_is_depth=last_color_is_depth)
+            config.max_rowruns, interpret=config.interpret,
+            last_color_is_depth=last_color_is_depth,
+            precision=config.precision)
         return img, alpha, bins
     if bins is None:
         bins = bin_gaussians(proj, camera.width, camera.height,
@@ -94,6 +103,7 @@ def rasterize(
         img, alpha = rasterize_tiles_pallas(
             proj.xys, proj.conics, colors, opacities, bins,
             camera.width, camera.height, config.tile_size, background,
+            interpret=config.interpret,
         )
     else:
         img, alpha = rasterize_tiles_chunked(

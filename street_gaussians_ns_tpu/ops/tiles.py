@@ -40,7 +40,13 @@ class TileBins:
     pair_valid: jax.Array   # (max_pairs,) bool
     tile_start: jax.Array   # (num_tiles,) int32 start offset into sorted pairs
     tile_count: jax.Array   # (num_tiles,) int32 number of pairs per tile
-    num_pairs: jax.Array    # () int32 true number of pairs (may exceed max_pairs)
+    num_pairs: jax.Array    # () int32 true number of pairs (may exceed
+    #                         max_pairs; bin_and_pack reports the exact
+    #                         capacity-independent count, bin_gaussians a
+    #                         count that is exact while rowruns fit)
+    num_rowruns: jax.Array  # () int32 true (gaussian, tile-row) run count
+    #                         (may exceed max_rowruns — the host growth
+    #                         rule must watch BOTH capacities)
     # Pre-sort (gaussian-major "expansion") slot of each sorted pair, and
     # the depth ordering of gaussians — together they let the backward
     # reduce per-pair gradients with gathers + a cumsum instead of a giant
@@ -128,6 +134,7 @@ def bin_and_pack(
     interpret: bool = False,
     with_gauss_idx: bool = True,
     last_color_is_depth: bool = False,
+    precision: str = "f32",
 ):
     """Fused binning + per-pair feature threading — zero row gathers.
 
@@ -164,7 +171,18 @@ def bin_and_pack(
         separate payload.
       * tile_box rides the depth sort packed 4x8-bit in ONE int32 column
         when the tile grid fits (ntx, nty < 256 — images up to ~4080 px;
-        falls back to 4 columns otherwise)."""
+        falls back to 4 columns otherwise).
+
+    precision="bf16" (production TPU mode) rounds the non-geometry
+    feature columns (conics, opacity, colors) to bf16 and rides them as
+    int32 bf16-PAIRS through both sorts — 4 payload columns fewer in each
+    (~12 ms of the bench step; see ops.packing). Screen xy and the depth
+    rank stay f32/exact — xy rounding would move splat centers by up to
+    pixels for large splats; the rank must be exact. The rounding is
+    applied BEFORE pair enumeration, so binning, compositing, and the
+    backward replay all see the same (rounded) values — the pipeline
+    remains self-consistent, merely quantized (~2^-8 relative on alpha
+    curvature and colors; sub-1e-2 on rendered RGB)."""
     from ..core.projection import row_tile_range
     from .expand_pallas import expand_ragged
     from .scan_pallas import cumsum_flat
@@ -189,17 +207,41 @@ def bin_and_pack(
     else:
         box_cols = (tile_box[:, 0], tile_box[:, 1],
                     tile_box[:, 2], tile_box[:, 3])
+    bf16 = precision == "bf16"
+    fcols = [colors[:, i].astype(jnp.float32) for i in range(nc_ride)]
+    if bf16:
+        from .packing import pack2, unpack2
+
+        attr_cols = [pack2(conics[:, 0], conics[:, 1]),
+                     pack2(conics[:, 2], opacities.astype(jnp.float32))]
+        attr_cols += [pack2(fcols[i], fcols[i + 1])
+                      for i in range(0, nc_ride - 1, 2)]
+        if nc_ride % 2:
+            attr_cols.append(pack2(fcols[-1], jnp.zeros((n,), jnp.float32)))
+        n_attr = len(attr_cols)
+    else:
+        attr_cols = [conics[:, 0], conics[:, 1], conics[:, 2],
+                     opacities.astype(jnp.float32)] + fcols
+        n_attr = len(attr_cols)
     cols = (
         jnp.arange(n, dtype=jnp.int32),               # original index
         xys[:, 0], xys[:, 1],
-        conics[:, 0], conics[:, 1], conics[:, 2],
-        opacities.astype(jnp.float32),
-        *(colors[:, i].astype(jnp.float32) for i in range(nc_ride)),
+        *attr_cols,
     ) + box_cols
     dk_s, idx_s, *c_s = jax.lax.sort((depth_key,) + cols, num_keys=1,
                                      is_stable=True)
-    x_s, y_s, ca_s, cb_s, cc_s, op_s = c_s[:6]
-    f_s = list(c_s[6:6 + nc_ride])
+    x_s, y_s = c_s[:2]
+    if bf16:
+        ca_s, cb_s = unpack2(c_s[2])
+        cc_s, op_s = unpack2(c_s[3])
+        f_s = []
+        for j in range(4, 2 + n_attr):
+            a, b = unpack2(c_s[j])
+            f_s += [a, b]
+        f_s = f_s[:nc_ride]
+    else:
+        ca_s, cb_s, cc_s, op_s = c_s[2:6]
+        f_s = list(c_s[6:2 + n_attr])
     if last_color_is_depth and nc > 0:
         # The sorted key IS the last color column at every enumerated
         # pair (invisible gaussians carry +inf but emit no pairs).
@@ -207,13 +249,13 @@ def bin_and_pack(
     f_s += [jnp.zeros((n,), jnp.float32) for _ in range(4 - nc)]
     f0_s, f1_s, f2_s, f3_s = f_s
     if pack_box:
-        bx = c_s[6 + nc_ride]
+        bx = c_s[2 + n_attr]
         x0_s = (bx >> 24) & 0xFF    # mask: >>24 of a sign-bit pack is arithmetic
         x1_s = (bx >> 16) & 0xFF
         y0_s = (bx >> 8) & 0xFF
         y1_s = bx & 0xFF
     else:
-        x0_s, x1_s, y0_s, y1_s = c_s[6 + nc_ride:10 + nc_ride]
+        x0_s, x1_s, y0_s, y1_s = c_s[2 + n_attr:6 + n_attr]
 
     # Trim each box to its nonzero-width rows + exact per-gaussian pair
     # count (gather-free; also guarantees counts >= 1 per enumerated row,
@@ -226,6 +268,12 @@ def bin_and_pack(
         jnp.stack([x_s, y_s], axis=-1), box_s, tile_size, nty,
         q=coverage_q(op_s))
     nz = jnp.isfinite(dk_s) & (count_g > 0)
+    count_g = jnp.where(nz, count_g, 0)
+    # Capacity-INDEPENDENT totals: the host's capacity-growth rule reads
+    # these, so they must report the true workload even when the static
+    # max_rowruns / max_pairs buffers overflowed (rendering drops the
+    # overflow pairs for this step; growth then recompiles).
+    true_pairs = jnp.sum(count_g)
     y0t = jnp.where(nz, y0_s + first, 0)
     y1t = jnp.where(nz, y0_s + last + 1, 0)
     hrows = jnp.where(nz, y1t - y0t, 0)
@@ -300,6 +348,26 @@ def bin_and_pack(
         (tile_sorted, slot_sorted, g_sorted, *feats) = jax.lax.sort(
             (tile_id, slot, g) + tuple(p[i] for i in range(10)),
             num_keys=1, is_stable=True)
+    elif bf16:
+        # Production diet: xy f32, the 8 attribute columns as 4 bf16
+        # pairs, the depth rank f32 (exact ints) — 8 operands instead of
+        # 12 (~10 ms at bench scale; values were already bf16-rounded at
+        # the depth sort, so this re-pack is lossless).
+        from .packing import pack2, unpack2
+
+        rank_col = jnp.where(valid, p[10], jnp.float32(n))
+        (tile_sorted, fx, fy, q0, q1, q2, q3, rank_s) = jax.lax.sort(
+            (tile_id, p[0], p[1], pack2(p[2], p[3]), pack2(p[4], p[5]),
+             pack2(p[6], p[7]), pack2(p[8], p[9]), rank_col),
+            num_keys=1, is_stable=True)
+        u0 = unpack2(q0)
+        u1 = unpack2(q1)
+        u2 = unpack2(q2)
+        u3 = unpack2(q3)
+        feats = [fx, fy, u0[0], u0[1], u1[0], u1[1], u2[0], u2[1],
+                 u3[0], u3[1], rank_s]
+        slot_sorted = jnp.zeros_like(tile_sorted)
+        g_sorted = jnp.zeros_like(tile_sorted)
     else:
         rank_col = jnp.where(valid, p[10], jnp.float32(n))
         (tile_sorted, *feats) = jax.lax.sort(
@@ -323,7 +391,8 @@ def bin_and_pack(
         pair_valid=pair_valid,
         tile_start=tile_start,
         tile_count=tile_end - tile_start,
-        num_pairs=total,
+        num_pairs=true_pairs,
+        num_rowruns=cum_r[-1] if n > 0 else jnp.int32(0),
         exp_slot=jnp.where(pair_valid, slot_sorted, max_pairs),
         depth_order=idx_s,
         exp_starts=exp_starts,
@@ -457,7 +526,10 @@ def bin_gaussians(
         pair_valid=pair_valid,
         tile_start=tile_start,
         tile_count=tile_end - tile_start,
+        # Exact while rowruns fit; a LOWER bound under rowrun overflow —
+        # num_rowruns (always exact) is what detects that regime.
         num_pairs=total,
+        num_rowruns=cum_r[-1] if n > 0 else jnp.int32(0),
         exp_slot=jnp.where(pair_valid, slot_sorted, max_pairs),
         depth_order=order,
         exp_starts=exp_starts,

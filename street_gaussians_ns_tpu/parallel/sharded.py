@@ -198,8 +198,7 @@ def sharded_scene_loss(
                 from ..ops.composite_pallas import composite_tiles_pallas
                 return composite_tiles_pallas(
                     pr.xys, pr.conics, colors_in, opac_in, bins_pad,
-                    m_idx * tl, tl,
-                    interpret=jax.default_backend() != "tpu")
+                    m_idx * tl, tl, interpret=render_config.interpret)
             accum, alpha = composite_tiles(
                 pr.xys, pr.conics, colors_in, opac_in, bins_pad, my_tiles,
                 ts, render_config.max_per_tile, render_config.chunk)
@@ -248,6 +247,14 @@ def sharded_scene_loss(
             jnp.mean((outputs["rgb"] - batch["image"]) ** 2), 1e-12))
         aux = {
             "psnr": jax.lax.pmean(psnr_local, "data"),
+            # True pair count (max over data rows): the host's pair-
+            # capacity growth rule needs it — the sharded path must never
+            # silently truncate at max_pairs any more than the single-
+            # device one (gsplat never drops pairs, sgn_splatfacto.py:
+            # 860-873). Identical across model columns (binning is
+            # replicated), pmax'd across data.
+            "num_pairs": jax.lax.pmax(bins.num_pairs, "data"),
+            "num_rowruns": jax.lax.pmax(bins.num_rowruns, "data"),
             # radii per gaussian for densification stats: bg local shard is
             # returned sharded; radii were computed pre-gather.
             "bg_radii": pr_bg.radii[None],
@@ -270,7 +277,8 @@ def sharded_scene_loss(
         P(),                        # step
         P("data"),                  # rngs
     )
-    out_specs = (P(), {"psnr": P(), "bg_radii": P("data", "model"),
+    out_specs = (P(), {"psnr": P(), "num_pairs": P(), "num_rowruns": P(),
+                       "bg_radii": P("data", "model"),
                        "obj_radii": P("data")})
     return jax.shard_map(per_device, mesh=mesh, in_specs=in_specs,
                          out_specs=out_specs, check_vma=False)
@@ -385,6 +393,8 @@ def make_sharded_train_step(
                                         objects=obj_store)
 
         metrics = {"loss": loss, "psnr": aux["psnr"],
+                   "num_pairs": aux["num_pairs"],
+                   "num_rowruns": aux["num_rowruns"],
                    "gaussian_count": bg_store.num_active
                    + (obj_store.num_active if n_obj else 0)}
         return SceneTrainState(store=new_store, opt=new_opt,

@@ -20,11 +20,9 @@ construction and checkpoint/eval machinery, and replaces the inner loop:
 from __future__ import annotations
 
 import functools
-import time
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..engine.scene_train_step import scene_refine_step
@@ -63,7 +61,12 @@ def make_sharded_refine_step(config, num_train_data):
 
 
 class ShardedTrainer(Trainer):
-    """Trainer whose inner loop is the shard_mapped multi-chip step."""
+    """Trainer whose inner step is the shard_mapped multi-chip step.
+
+    Only the step dispatch (`_run_step`), the refine fn, and the compile
+    caches are overridden — the host loop itself (refine cadence,
+    pair-capacity growth, metrics/viewer/eval/save) is Trainer.train, so
+    the two paths cannot drift."""
 
     def __init__(self, *args, mesh_data: Optional[int] = None,
                  mesh_model: Optional[int] = None,
@@ -78,9 +81,13 @@ class ShardedTrainer(Trainer):
             f"background capacity {cap} must divide the model axis "
             f"{self.mesh.shape['model']}")
         self.state = place_state(self.state, self.mesh)
-        self._srefine = make_sharded_refine_step(self.config,
-                                                 self.dm.num_train)
+        self._refine_fn = make_sharded_refine_step(self.config,
+                                                   self.dm.num_train)
         self._sstep = {}
+
+    def _invalidate_step_fns(self):
+        super()._invalidate_step_fns()
+        self._sstep.clear()
 
     def _sharded_step_fn(self, width: int, height: int, step: int):
         subset_accs = (self.config.object_acc_entropy_loss_mult > 0
@@ -93,40 +100,20 @@ class ShardedTrainer(Trainer):
                 subset_accs=subset_accs)
         return self._sstep[key]
 
+    def _run_step(self, step: int):
+        cams, batches = [], []
+        for _ in range(self.mesh.shape["data"]):
+            camera, batch = self.dm.next_train(step)
+            cams.append(camera)
+            batches.append(batch)
+        h, w = cams[0].height, cams[0].width
+        fn = self._sharded_step_fn(w, h, step)
+        self.state, metrics = fn(self.state, self.tracks,
+                                 stack_cameras(cams),
+                                 stack_batches(batches, h, w))
+        self._last_hw = (h, w)
+        return metrics
+
     def train(self, num_iterations: Optional[int] = None):
-        total = num_iterations or self.tc.max_num_iterations
-        refine_every = self.config.background.refine_every
-        data_size = self.mesh.shape["data"]
-        t_last = time.time()
         with jax.set_mesh(self.mesh):
-            for step in range(self.start_step, total):
-                cams, batches = [], []
-                for _ in range(data_size):
-                    camera, batch = self.dm.next_train(step)
-                    cams.append(camera)
-                    batches.append(batch)
-                h, w = cams[0].height, cams[0].width
-                fn = self._sharded_step_fn(w, h, step)
-                self.state, metrics = fn(
-                    self.state, self.tracks, stack_cameras(cams),
-                    stack_batches(batches, h, w))
-                if (step + 1) % refine_every == 0:
-                    self.state, info = self._srefine(
-                        self.state, max_hw=jnp.float32(max(h, w)))
-                    metrics.update(info)
-                if step % 10 == 0:
-                    m = {k: float(v) for k, v in metrics.items()
-                         if jnp.ndim(v) == 0}
-                    dt = time.time() - t_last
-                    t_last = time.time()
-                    m["steps_per_sec"] = (10 if step else 1) / max(dt, 1e-9)
-                    self.writer.write(step, m)
-                if (step + 1) % self.tc.steps_per_eval_image == 0:
-                    self.eval_image(step)
-                if ((step + 1) % self.tc.steps_per_save == 0
-                        or step + 1 == total):
-                    from ..engine.checkpoints import save_checkpoint
-                    path = save_checkpoint(self.ckpt_dir, step + 1,
-                                           self.state)
-                    self.writer.log(f"saved {path}")
-        return self.state
+            return super().train(num_iterations)

@@ -26,6 +26,17 @@ def build_parser() -> argparse.ArgumentParser:
     add_dataclass_args(p, TrainerConfig, prefix="trainer.")
     add_dataclass_args(p, DataManagerConfig, prefix="dm.")
     add_dataclass_args(p, SceneGraphConfig, prefix="model.")
+    # Multi-chip mesh (parallel.ShardedTrainer): any of these selects the
+    # shard_mapped (data, model) training step. New TPU capability — the
+    # reference is single-GPU (SURVEY.md §2.4).
+    p.add_argument("--mesh-data", type=int, default=None,
+                   help="data-parallel mesh rows (cameras per step)")
+    p.add_argument("--mesh-model", type=int, default=None,
+                   help="model-parallel mesh cols (Gaussian/tile shards)")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="jax.distributed coordinator address (multi-host)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
@@ -35,7 +46,18 @@ def main(argv=None):
     trainer_config = dataclass_from_args(TrainerConfig, args, "trainer.")
     dm_config = dataclass_from_args(DataManagerConfig, args, "dm.")
     scene_config = dataclass_from_args(SceneGraphConfig, args, "model.")
-    trainer = Trainer(data_config, scene_config, trainer_config, dm_config)
+    if (args.mesh_data is not None or args.mesh_model is not None
+            or args.coordinator is not None):
+        from ..parallel.trainer import ShardedTrainer
+
+        trainer = ShardedTrainer(
+            data_config, scene_config, trainer_config, dm_config,
+            mesh_data=args.mesh_data, mesh_model=args.mesh_model,
+            coordinator=args.coordinator,
+            num_processes=args.num_processes, process_id=args.process_id)
+    else:
+        trainer = Trainer(data_config, scene_config, trainer_config,
+                          dm_config)
     trainer.train()
 
 

@@ -17,3 +17,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the suite is compile-dominated (interpret-
+# mode Pallas + many jit variants); caching compiled executables on disk
+# cuts repeat runs from ~10 min to ~2 min, which is what makes running the
+# tests before every commit viable.
+_cache = os.environ.get("SGNT_JAX_CACHE",
+                        os.path.expanduser("~/.cache/sgnt_jax_cache"))
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -91,3 +91,46 @@ def test_fused_image_and_grads_match_unfused(seed, n, opaque):
     np.testing.assert_allclose(l_new, l_old, atol=1e-6)
     for nm, a, b in zip(["xys", "conics", "colors", "opac"], g_new, g_old):
         np.testing.assert_allclose(a, b, atol=1e-6, err_msg=nm)
+
+
+def test_bf16_precision_mode_close_to_f32():
+    """precision="bf16" rides conics/opacity/colors through the binning
+    sorts as bf16 pairs: images and gradients must track the f32 path
+    within the documented ~2^-8 quantization; xy geometry and pair
+    ORDERING must be exactly preserved."""
+    means, scales, quats, colors, opac, cam = make_scene(2, 200, w=48,
+                                                         h=32)
+    p = _project(means, scales, quats, cam)
+    bg = jnp.array([0.2, 0.1, 0.0, 0.0])
+    target = jax.random.uniform(jax.random.PRNGKey(7), (32, 48, 4))
+
+    def loss(args, precision):
+        xys, conics, cols, op = args
+        import dataclasses
+        pr = dataclasses.replace(p, xys=xys, conics=conics)
+        img, alpha, bins = rasterize_tiles_pallas_fused(
+            pr, cols, op, 48, 32, 16, bg, MAX_PAIRS, interpret=True,
+            precision=precision)
+        return (jnp.mean(jnp.abs(img - target))
+                + 0.3 * jnp.mean(alpha ** 2)), (img, bins)
+
+    args = (p.xys, p.conics, colors, opac)
+    (l32, (img32, b32)), g32 = jax.value_and_grad(
+        lambda a: loss(a, "f32"), has_aux=True)(args)
+    (l16, (img16, b16)), g16 = jax.value_and_grad(
+        lambda a: loss(a, "bf16"), has_aux=True)(args)
+
+    # Enumeration identical (rounding cannot reorder: depth key and tile
+    # boxes are untouched; coverage uses the rounded opacity on both
+    # sides of the same sort).
+    np.testing.assert_array_equal(np.asarray(b16.tile_count),
+                                  np.asarray(b32.tile_count))
+    np.testing.assert_allclose(np.asarray(img16), np.asarray(img32),
+                               atol=2e-2)
+    np.testing.assert_allclose(float(l16), float(l32), rtol=5e-3,
+                               atol=1e-3)
+    for nm, a, b in zip(["xys", "conics", "colors", "opac"], g16, g32):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-6
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-2,
+                                   err_msg=nm)

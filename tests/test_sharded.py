@@ -89,3 +89,74 @@ def test_sharded_matches_single_device_grads():
     np.testing.assert_allclose(
         np.asarray(s_sh.store.background.xys_grad_norm),
         np.asarray(s_ref.store.background.xys_grad_norm), atol=1e-5)
+
+
+RCFG_PALLAS = RenderConfig(max_pairs=16384, impl="pallas", interpret=True)
+
+
+@pytest.mark.slow
+def test_sharded_pallas_strip_matches_single_pallas():
+    """The PRODUCTION path: Pallas tile-strip compositing inside shard_map
+    on a (4, 2) mesh must reproduce the single-device Pallas step (same
+    kernels, strips vs whole image)."""
+    mesh = make_mesh(data=1, model=8)
+    cfg = dataclasses.replace(CFG, base=dataclasses.replace(
+        CFG.base, use_sky_sphere=False))
+    store = dataclasses.replace(make_store(), env_map=None)
+    tracks = make_tracks()
+    state = init_scene_train_state(store, jax.random.PRNGKey(0))
+    cam = make_cameras(1)[0]
+    batch = {"image": jnp.full((H, W, 3), 0.4)}
+
+    s_ref, m_ref = jax.jit(
+        lambda s: scene_train_step(s, tracks, cam, batch, cfg,
+                                   RCFG_PALLAS))(state)
+
+    step = make_sharded_train_step(mesh, cfg, RCFG_PALLAS, W, H,
+                                   cap_bg=store.background.capacity)
+    with jax.set_mesh(mesh):
+        s_sh, m_sh = step(state, tracks, stack_cameras([cam]),
+                          stack_batches([batch], H, W))
+
+    np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_sh.store.background.params.means),
+        np.asarray(s_ref.store.background.params.means), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_sh.store.background.xys_grad_norm),
+        np.asarray(s_ref.store.background.xys_grad_norm), atol=1e-5)
+
+
+def test_sharded_surfaces_num_pairs_and_overflow_visible():
+    """The sharded step must report the TRUE pair count so the host's
+    capacity-growth rule can react — silent truncation at max_pairs is the
+    failure mode gsplat never has (sgn_splatfacto.py:860-873)."""
+    mesh = make_mesh(data=2, model=4)
+    store = make_store()
+    tracks = make_tracks()
+    state = init_scene_train_state(store, jax.random.PRNGKey(0))
+    cams = make_cameras(2)
+    batches = [{"image": jnp.full((H, W, 3), 0.4)} for _ in range(2)]
+    step = make_sharded_train_step(mesh, CFG, RCFG, W, H,
+                                   cap_bg=store.background.capacity)
+    with jax.set_mesh(mesh):
+        _, metrics = step(state, tracks, stack_cameras(cams),
+                          stack_batches(batches, H, W))
+    assert "num_pairs" in metrics
+    true_pairs = int(metrics["num_pairs"])
+    assert true_pairs > 0
+
+    assert int(metrics["num_rowruns"]) > 0
+
+    # Undersized pair capacity (rowruns still fitting): num_pairs reports
+    # the TRUE count — it exceeds max_pairs, which is what triggers
+    # host-side growth.
+    tiny = dataclasses.replace(RCFG, max_pairs=256, max_rowruns=2048)
+    step_t = make_sharded_train_step(mesh, CFG, tiny, W, H,
+                                     cap_bg=store.background.capacity)
+    with jax.set_mesh(mesh):
+        _, m_t = step_t(state, tracks, stack_cameras(cams),
+                        stack_batches(batches, H, W))
+    assert int(m_t["num_pairs"]) == true_pairs
+    assert true_pairs > 256
