@@ -27,6 +27,15 @@ from .dataset import FrameData, load_frame
 class DataManagerConfig:
     undistort: bool = True
     downscale: int = 1
+    # downscale == 1 + auto_downscale: frames larger than max_image_dim
+    # are halved until they fit (the reference's rule,
+    # sgn_dataparser.py:39,697-711).
+    auto_downscale: bool = True
+    max_image_dim: int = 1600
+    # Persist undistorted/downscaled frames next to the source images
+    # (`images_ud_2/` sibling-dir convention, sgn_dataparser.py:745-753);
+    # later runs load the processed frames directly.
+    disk_cache: bool = True
     cache_workers: int = 8
     seed: int = 42
 
@@ -46,9 +55,18 @@ class FullImageDatamanager:
                 self._cache[int(idx)] = frame
 
     def _load(self, idx: int) -> FrameData:
+        downscale = self.config.downscale
+        if downscale == 1 and self.config.auto_downscale:
+            from .dataset import auto_downscale_factor
+
+            downscale = auto_downscale_factor(
+                int(self.scene.width[int(idx)]),
+                int(self.scene.height[int(idx)]),
+                self.config.max_image_dim)
         return load_frame(self.scene, int(idx),
                           undistort=self.config.undistort,
-                          downscale=self.config.downscale)
+                          downscale=downscale,
+                          disk_cache=self.config.disk_cache)
 
     @property
     def num_train(self) -> int:

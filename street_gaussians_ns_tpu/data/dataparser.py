@@ -159,6 +159,11 @@ class ParsedScene:
     annotations: Optional[AnnotationDB] = None
     tracks: Optional[ObjectTracks] = None
     fisheye_crop_radius: Optional[float] = None   # FISHEYE624 frames only
+    # -0.98 * first-frame translation, gl2cv'd — the shift transform2colmap
+    # baked into the COLMAP frame (sgn_dataparser.py:222-225); consumers
+    # (LiDAR chamfer eval, geometric_metric.py:83-92) must re-apply it to
+    # raw clip-frame points before the world transform + scale.
+    applied_translation_in_colmap: Optional[np.ndarray] = None
 
     @property
     def num_frames(self) -> int:
@@ -273,11 +278,13 @@ def parse_scene(config: DataParserConfig, split_all: bool = False
 
     # Dynamic annotations, in the fully transformed+scaled model space.
     annotations = tracks = None
-    if config.load_dynamic_annotations and meta is not None:
+    applied = None
+    if meta is not None and meta.get("frames"):
         first_pose_t = np.asarray(meta["frames"][0]["transform_matrix"],
                                   np.float64)[:3, 3]
         applied = -first_pose_t * 0.98                   # (:222-225)
         applied = gl2cv(np.append(applied, 1.0))[:3]
+    if config.load_dynamic_annotations and meta is not None:
         tm_colmap = np.eye(4)
         tm_colmap[:3, 3] = applied
         t44 = np.concatenate([transform, [[0, 0, 0, 1]]], axis=0)
@@ -318,4 +325,5 @@ def parse_scene(config: DataParserConfig, split_all: bool = False
         annotations=annotations,
         tracks=tracks,
         fisheye_crop_radius=config.fisheye_crop_radius,
+        applied_translation_in_colmap=applied,
     )

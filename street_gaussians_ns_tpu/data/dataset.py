@@ -156,9 +156,87 @@ class FrameData:
     height: int
 
 
+def auto_downscale_factor(width: int, height: int,
+                          max_dim: int = 1600) -> int:
+    """Power-of-two factor bringing max(width, height) under max_dim —
+    the reference's auto-downscale rule (sgn_dataparser.py:39,697-711:
+    frames over ~1600 px are halved until they fit)."""
+    d = 1
+    while max(width, height) // d > max_dim:
+        d *= 2
+    return d
+
+
+def _cache_path(scene, idx: int, undistort: bool, downscale: int):
+    """On-disk cache location mirroring the reference's `_ud` / `_2`
+    sibling-dir convention (sgn_dataparser.py:745-753): for source
+    <root>/images/cam/ts.jpg the processed frame lives at
+    <root>/images_ud_2/cam/ts.npz (suffixes only for the applied steps)."""
+    src = Path(scene.image_paths[idx])
+    parts = list(src.parts)
+    # The images dir is the path component directly under the clip root;
+    # fall back to the immediate parent when the layout is flat.
+    anchor = len(parts) - 2 if len(parts) >= 2 else 0
+    suffix = ("_ud" if undistort else "") + (
+        f"_{downscale}" if downscale > 1 else "")
+    if not suffix:
+        return None
+    for i in range(len(parts) - 2, -1, -1):
+        if parts[i] == "images":
+            anchor = i
+            break
+    parts[anchor] = parts[anchor] + suffix
+    return Path(*parts).with_suffix(".npz")
+
+
+def _save_cache(path: Path, frame: "FrameData") -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    data = {
+        "image": (np.clip(frame.image, 0, 1) * 255).astype(np.uint8),
+        "intr": np.array([frame.fx, frame.fy, frame.cx, frame.cy],
+                         np.float64),
+    }
+    if frame.mask is not None:
+        data["mask"] = frame.mask
+    if frame.semantic is not None:
+        data["semantic"] = frame.semantic
+    tmp = path.with_suffix(".tmp.npz")
+    np.savez(tmp, **data)
+    tmp.replace(path)
+
+
+def _load_cache(path: Path, scene, idx: int) -> Optional["FrameData"]:
+    try:
+        if path.stat().st_mtime < Path(scene.image_paths[idx]).stat().st_mtime:
+            return None          # stale: source re-extracted
+        z = np.load(path)
+        fx, fy, cx, cy = z["intr"]
+        image = z["image"].astype(np.float32) / 255.0
+        mask = z["mask"] if "mask" in z else None
+        semantic = z["semantic"] if "semantic" in z else None
+    except Exception:
+        return None
+    h, w = image.shape[:2]
+    return FrameData(image=image, mask=mask, semantic=semantic,
+                     fx=float(fx), fy=float(fy), cx=float(cx), cy=float(cy),
+                     c2w=np.asarray(scene.c2w[idx]),
+                     time=float(scene.times[idx]), width=w, height=h)
+
+
 def load_frame(scene, idx: int, undistort: bool = True,
-               downscale: int = 1) -> FrameData:
-    """Load + undistort (+ downscale) frame `idx` of a ParsedScene."""
+               downscale: int = 1, disk_cache: bool = False) -> FrameData:
+    """Load + undistort (+ downscale) frame `idx` of a ParsedScene.
+
+    disk_cache persists the processed frame next to the source images
+    (`images_ud_2/` convention) so later runs skip the OpenCV remap +
+    resize entirely — the reference's offline undistort-and-save pipeline
+    (sgn_dataparser.py:544-743)."""
+    cache = (_cache_path(scene, idx, undistort, downscale)
+             if disk_cache else None)
+    if cache is not None and cache.exists():
+        hit = _load_cache(cache, scene, idx)
+        if hit is not None:
+            return hit
     image = load_image(scene.image_paths[idx])
     mask = None
     if scene.mask_paths is not None and scene.mask_paths[idx].exists():
@@ -209,7 +287,10 @@ def load_frame(scene, idx: int, undistort: bool = True,
                           cx / downscale, cy / downscale)
 
     h, w = image.shape[:2]
-    return FrameData(image=image, mask=mask, semantic=semantic,
-                     fx=fx, fy=fy, cx=cx, cy=cy,
-                     c2w=np.asarray(scene.c2w[idx]),
-                     time=float(scene.times[idx]), width=w, height=h)
+    frame = FrameData(image=image, mask=mask, semantic=semantic,
+                      fx=fx, fy=fy, cx=cx, cy=cy,
+                      c2w=np.asarray(scene.c2w[idx]),
+                      time=float(scene.times[idx]), width=w, height=h)
+    if cache is not None:
+        _save_cache(cache, frame)
+    return frame

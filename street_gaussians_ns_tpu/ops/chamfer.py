@@ -47,6 +47,15 @@ def chamfer_distance(a: jax.Array, b: jax.Array) -> jax.Array:
     return (d_ab + d_ba) * 0.5 / CD_UNIT
 
 
+def chamfer_directed(a: jax.Array, b: jax.Array):
+    """One-directional means (d_ab, d_ba) in CD_UNIT — the reference
+    reports both directions plus their average
+    (geometric_metric.py:59-70, :100)."""
+    d_ab = jnp.sqrt(jnp.maximum(_min_sqdist(a, b), 0.0)).mean() / CD_UNIT
+    d_ba = jnp.sqrt(jnp.maximum(_min_sqdist(b, a), 0.0)).mean() / CD_UNIT
+    return d_ab, d_ba
+
+
 def gl2cv_points(pts: np.ndarray) -> np.ndarray:
     """(x,y,z) OpenGL -> OpenCV world swap (geometric_metric.py:8-16)."""
     out = pts[:, [1, 0, 2]].copy()
@@ -59,18 +68,29 @@ def evaluate_lidar_geometric(
     lidar_points: np.ndarray,       # (M, 3) aggregated lidar, raw clip frame
     transform_matrix: np.ndarray,   # (3, 4) dataparser transform
     scale: float,
+    applied_translation: np.ndarray | None = None,  # colmap-frame shift
     max_points: int = 200_000,
-) -> float:
+) -> dict:
     """Chamfer between the model's means and the clip's LiDAR transformed
-    into model space (evaluate_lidar_geometric, :72-100)."""
+    into model space (evaluate_lidar_geometric, :72-100): LiDAR gets the
+    gl2cv'd -0.98*T0 colmap shift (:83-87), then the dataparser world
+    transform + scale (:88-92). Returns the reference's three keys
+    (lidar_chamfer_distance_{1,2,avg}, :100) in CD_UNIT."""
     rng = np.random.RandomState(0)
     if len(lidar_points) > max_points:
         lidar_points = lidar_points[rng.choice(len(lidar_points), max_points,
                                                replace=False)]
     if len(means) > max_points:
         means = means[rng.choice(len(means), max_points, replace=False)]
+    pts = np.asarray(lidar_points, np.float64)
+    if applied_translation is not None:
+        pts = pts + np.asarray(applied_translation)[None, :]
     t44 = np.concatenate([transform_matrix, [[0, 0, 0, 1]]], axis=0)
-    pts = np.concatenate([lidar_points, np.ones((len(lidar_points), 1))], 1)
+    pts = np.concatenate([pts, np.ones((len(pts), 1))], 1)
     pts = (pts @ t44.T)[:, :3] * scale
-    return float(chamfer_distance(jnp.asarray(means, jnp.float32),
-                                  jnp.asarray(pts, jnp.float32)))
+    d1, d2 = chamfer_directed(jnp.asarray(means, jnp.float32),
+                              jnp.asarray(pts, jnp.float32))
+    d1, d2 = float(d1), float(d2)
+    return {"lidar_chamfer_distance_1": d1,
+            "lidar_chamfer_distance_2": d2,
+            "lidar_chamfer_distance_avg": 0.5 * (d1 + d2)}

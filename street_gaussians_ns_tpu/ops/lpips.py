@@ -52,7 +52,40 @@ def load_lpips(path: Path):
                       jnp.asarray(data[f"features.{idx}.bias"]),
                       idx))
     lins = [jnp.asarray(data[f"lin{i}.model.1.weight"]) for i in range(5)]
+    return _build_lpips(convs, lins)
 
+
+# VGG16 conv output channels, aligned with _VGG_CONV_IDX.
+_VGG_CHANNELS = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512,
+                 512, 512, 512]
+
+
+def random_lpips(seed: int = 0):
+    """LPIPS over a SEEDED RANDOM-weight VGG16 with uniform linear heads.
+
+    The environment cannot download pretrained VGG weights (zero egress),
+    and none ship in the image; random-convnet features are the standard
+    offline fallback — they correlate with perceptual distance (deep
+    random features are a known perceptual-metric baseline) and are
+    deterministic given the seed, but the absolute values are NOT
+    comparable to standard pretrained LPIPS. Consumers must label the
+    metric (scripts/eval.py writes `lpips_net`)."""
+    rng = np.random.RandomState(seed)
+    convs = []
+    in_ch = 3
+    for idx, out_ch in zip(_VGG_CONV_IDX, _VGG_CHANNELS):
+        fan_in = in_ch * 9
+        w = rng.normal(0.0, np.sqrt(2.0 / fan_in),
+                       (out_ch, in_ch, 3, 3)).astype(np.float32)
+        b = np.zeros((out_ch,), np.float32)
+        convs.append((jnp.asarray(w), jnp.asarray(b), idx))
+        in_ch = out_ch
+    tap_ch = [64, 128, 256, 512, 512]
+    lins = [jnp.full((1, c, 1, 1), 1.0 / c, jnp.float32) for c in tap_ch]
+    return _build_lpips(convs, lins)
+
+
+def _build_lpips(convs, lins):
     def features(x):
         """x: (1, 3, H, W) normalized. Returns the 5 tapped feature maps."""
         taps = []

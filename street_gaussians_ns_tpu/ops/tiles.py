@@ -244,8 +244,14 @@ def bin_and_pack(
         f_s = list(c_s[6:2 + n_attr])
     if last_color_is_depth and nc > 0:
         # The sorted key IS the last color column at every enumerated
-        # pair (invisible gaussians carry +inf but emit no pairs).
-        f_s.append(dk_s)
+        # pair. Invisible gaussians carry +inf in the KEY and emit no
+        # pairs — but the column value must be SANITIZED before it rides
+        # the expansion kernels: their one-hot MXU matmuls multiply every
+        # window entry by 0/1, and inf * 0 = NaN would contaminate every
+        # output block whose source window contains an invisible
+        # gaussian (the bug this guards against poisoned the whole
+        # gradient at train scale).
+        f_s.append(jnp.where(jnp.isfinite(dk_s), dk_s, 0.0))
     f_s += [jnp.zeros((n,), jnp.float32) for _ in range(4 - nc)]
     f0_s, f1_s, f2_s, f3_s = f_s
     if pack_box:

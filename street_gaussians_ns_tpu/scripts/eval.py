@@ -26,7 +26,7 @@ from ..models.scene_graph import forward_scene
 from ..ops.ssim import psnr, ssim
 
 
-def evaluate(trainer, lpips_weights=None):
+def evaluate(trainer, lpips_weights=None, compute_lpips=True):
     fwd = jax.jit(functools.partial(
         forward_scene, config=trainer.config,
         render_config=trainer.render_config, training=False))
@@ -34,6 +34,14 @@ def evaluate(trainer, lpips_weights=None):
     if lpips_weights is not None:
         from ..ops.lpips import load_lpips
         lpips_fn = load_lpips(lpips_weights)
+    elif compute_lpips:
+        # Always report lpips like the reference (eval.py:30-31, 56-64).
+        # No pretrained VGG ships offline, so the default is the seeded
+        # random-feature variant — deterministic, perceptually
+        # correlated, NOT numerically comparable to pretrained LPIPS
+        # (labelled via `lpips_net` in the output).
+        from ..ops.lpips import random_lpips
+        lpips_fn = random_lpips()
 
     rows = []
     for camera, batch in trainer.dm.fixed_indices_eval():
@@ -64,6 +72,31 @@ def evaluate(trainer, lpips_weights=None):
     return results
 
 
+def _chamfer(trainer, lidar_path=None):
+    """LiDAR-vs-background-means chamfer in model space (the reference's
+    geometric eval, geometric_metric.py:72-100)."""
+    from ..ops.chamfer import evaluate_lidar_geometric
+
+    scene = trainer.scene
+    path = lidar_path or (Path(trainer.data_config.data)
+                          / "aggregate_lidar" / "output.ply")
+    if not Path(path).exists():
+        print(f"chamfer: no aggregate lidar at {path}, skipping")
+        return {}
+    if str(path).endswith(".pcd"):
+        from ..data.pcd_io import read_pcd
+        pts, _ = read_pcd(Path(path))
+    else:
+        from ..data.ply_io import read_ply_points
+        pts, _ = read_ply_points(Path(path))
+    store = trainer.state.store.background
+    act = np.asarray(store.active)
+    means = np.asarray(store.params.means)[act]
+    return evaluate_lidar_geometric(
+        means, pts, scene.transform_matrix, scene.dataparser_scale,
+        applied_translation=scene.applied_translation_in_colmap)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--load-dir", type=Path, required=True,
@@ -71,15 +104,30 @@ def main(argv=None):
     p.add_argument("--load-checkpoint", type=Path, default=None)
     p.add_argument("--output-path", type=Path, default=None)
     p.add_argument("--lpips-weights", type=Path, default=None,
-                   help=".npz of VGG16/LPIPS weights (see ops/lpips.py)")
+                   help=".npz of VGG16/LPIPS weights (see ops/lpips.py); "
+                        "without it a seeded random-feature VGG is used")
+    p.add_argument("--no-lpips", action="store_true",
+                   help="skip lpips entirely")
+    p.add_argument("--compute-chamfer", action="store_true",
+                   help="LiDAR-vs-means chamfer distance "
+                        "(geometric_metric.py:72-100)")
+    p.add_argument("--aggregate-lidar", type=Path, default=None,
+                   help="aggregate LiDAR ply/pcd (default "
+                        "<data>/aggregate_lidar/output.ply)")
     args = p.parse_args(argv)
 
     trainer = eval_setup(args.load_dir, args.load_checkpoint)
-    results = evaluate(trainer, args.lpips_weights)
+    results = evaluate(trainer, args.lpips_weights,
+                       compute_lpips=not args.no_lpips)
+    if args.compute_chamfer:
+        results.update(_chamfer(trainer, args.aggregate_lidar))
     out = {
         "experiment_name": str(args.load_dir),
         "method_name": "street-gaussians-ns-tpu",
         "checkpoint": str(args.load_checkpoint or "latest"),
+        "lpips_net": ("none" if args.no_lpips else
+                      "vgg16-pretrained" if args.lpips_weights
+                      else "vgg16-random-features-seed0"),
         "results": results,
     }
     out_path = args.output_path or (Path(args.load_dir) / "eval_output.json")

@@ -366,3 +366,51 @@ class TestFisheye624:
         assert (d["p1"], d["p2"]) == (0.01, 0.02)
         assert (d["s1"], d["s3"]) == (0.05, 0.06)
         assert d["s2"] == d["s4"] == 0.0 and d["k5"] == d["k6"] == 0.0
+
+
+class TestDiskCacheAndAutoDownscale:
+    def test_auto_downscale_factor(self):
+        from street_gaussians_ns_tpu.data.dataset import (
+            auto_downscale_factor)
+        assert auto_downscale_factor(1600, 1056) == 1
+        assert auto_downscale_factor(1920, 1280) == 2
+        assert auto_downscale_factor(3840, 2160) == 4
+        assert auto_downscale_factor(64, 48) == 1
+
+    def test_second_datamanager_hits_disk_cache(self, tmp_path):
+        """The reference persists undistorted/downscaled frames in
+        `_ud`/`_2` sibling dirs (sgn_dataparser.py:544-753); a second
+        Trainer/datamanager construction must read the cache instead of
+        re-running OpenCV."""
+        from street_gaussians_ns_tpu.data import dataset as ds
+        from street_gaussians_ns_tpu.data.datamanager import (
+            DataManagerConfig, FullImageDatamanager)
+        from street_gaussians_ns_tpu.data.dataparser import (
+            DataParserConfig, parse_scene)
+
+        write_clip(tmp_path)
+        scene = parse_scene(DataParserConfig(
+            data=tmp_path, load_dynamic_annotations=False))
+        cfg = DataManagerConfig(undistort=False, downscale=2,
+                                disk_cache=True, cache_workers=2)
+        dm1 = FullImageDatamanager(scene, cfg)
+        cam, batch = dm1.fixed_indices_train().__next__()
+        assert batch["image"].shape[0] == 24    # 48 // 2
+        cache_dirs = list(tmp_path.glob("images_2"))
+        assert cache_dirs, "cache dir images_2/ must exist"
+        npzs = list(cache_dirs[0].rglob("*.npz"))
+        assert npzs
+
+        # Second construction: loads come from the cache (poison the
+        # loader to prove no decode+resize happens).
+        orig = ds.load_image
+        ds.load_image = lambda p: (_ for _ in ()).throw(
+            AssertionError("cache miss: load_image called"))
+        try:
+            dm2 = FullImageDatamanager(scene, cfg)
+        finally:
+            ds.load_image = orig
+        cam2, batch2 = dm2.fixed_indices_train().__next__()
+        np.testing.assert_allclose(batch2["image"], batch["image"],
+                                   atol=1 / 255.0)
+        assert (cam2.fx, cam2.fy) == (cam.fx, cam.fy)

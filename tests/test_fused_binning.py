@@ -24,7 +24,9 @@ def _project(means, scales, quats, cam):
 
 
 @pytest.mark.parametrize("interpret", [False, True])
-@pytest.mark.parametrize("seed,n", [(0, 120), (3, 250)])
+@pytest.mark.parametrize("seed,n", [
+    (0, 120),
+    pytest.param(3, 250, marks=pytest.mark.slow)])
 def test_bins_match_reference_binning(seed, n, interpret):
     means, scales, quats, colors, opac, cam = make_scene(n, seed)
     p = _project(means, scales, quats, cam)
@@ -60,7 +62,9 @@ def test_bins_match_reference_binning(seed, n, interpret):
         np.testing.assert_array_equal(col[~valid], 0.0)
 
 
-@pytest.mark.parametrize("seed,n,opaque", [(0, 60, False), (2, 200, True)])
+@pytest.mark.parametrize("seed,n,opaque", [
+    pytest.param(0, 60, False, marks=pytest.mark.slow),
+    pytest.param(2, 200, True, marks=pytest.mark.slow)])
 def test_fused_image_and_grads_match_unfused(seed, n, opaque):
     means, scales, quats, colors, opac, cam = make_scene(
         n, seed, w=48, h=32, opaque=opaque)
@@ -134,3 +138,31 @@ def test_bf16_precision_mode_close_to_f32():
         scale = np.abs(b).max() + 1e-6
         np.testing.assert_allclose(a / scale, b / scale, atol=2e-2,
                                    err_msg=nm)
+
+
+def test_fused_depth_column_with_invisible_gaussians_is_finite():
+    """Invisible gaussians carry +inf in the depth sort key; the fused
+    path must sanitize the ridden depth COLUMN before the expansion
+    one-hot matmuls (inf * 0 = NaN would poison whole output blocks —
+    regression test for the train-scale NaN this caused)."""
+    import dataclasses
+    means, scales, quats, colors, opac, cam = make_scene(2, 200, w=48,
+                                                         h=32)
+    p = _project(means, scales, quats, cam)
+    assert int((p.num_tiles_hit == 0).sum()) > 0, "need invisible splats"
+    bg = jnp.zeros((4,))
+    c4 = jnp.concatenate([colors[:, :3], p.depths[:, None]], -1)
+
+    def loss(args):
+        xys, conics, cols, op = args
+        pr = dataclasses.replace(p, xys=xys, conics=conics)
+        img, alpha, _ = rasterize_tiles_pallas_fused(
+            pr, cols, op, 48, 32, 16, bg, MAX_PAIRS, interpret=True,
+            last_color_is_depth=True)
+        return jnp.mean(jnp.abs(img - 0.5)) + 0.3 * jnp.mean(alpha ** 2)
+
+    args = (p.xys, p.conics, c4, opac)
+    l, g = jax.value_and_grad(loss)(args)
+    assert np.isfinite(float(l))
+    for nm, x in zip(["xys", "conics", "colors", "opac"], g):
+        assert bool(jnp.isfinite(x).all()), nm

@@ -66,12 +66,24 @@ class TestPipeline:
         trainer2 = Trainer(*cfgs)
         assert trainer2.start_step == 12
 
-        # eval CLI
+        # eval CLI — lpips defaults on (random-feature fallback, labelled)
+        # and chamfer runs against the clip's aggregate LiDAR, making
+        # eval_output.json a schema superset of the reference's
+        # (eval.py:56-64 + geometric_metric.py:100).
         from street_gaussians_ns_tpu.scripts.eval import main as eval_main
-        eval_main(["--load-dir", str(out)])
-        res = json.load(open(out / "eval_output.json"))["results"]
+        eval_main(["--load-dir", str(out), "--compute-chamfer",
+                   "--aggregate-lidar",
+                   str(clip / "aggregate_lidar/dynamic_objects/veh1.ply")])
+        full = json.load(open(out / "eval_output.json"))
+        res = full["results"]
         assert "psnr" in res and "ssim" in res and "fps" in res
         assert np.isfinite(res["psnr"])
+        assert "lpips" in res and np.isfinite(res["lpips"])
+        assert full["lpips_net"] == "vgg16-random-features-seed0"
+        assert np.isfinite(res["lidar_chamfer_distance_avg"])
+        assert (res["lidar_chamfer_distance_avg"]
+                == 0.5 * (res["lidar_chamfer_distance_1"]
+                          + res["lidar_chamfer_distance_2"]))
 
         # export CLI
         from street_gaussians_ns_tpu.scripts.export import main as export_main

@@ -71,7 +71,9 @@ class TestPallasForward:
 
 
 class TestPallasBackward:
-    @pytest.mark.parametrize("seed,n,opaque", [(0, 60, False), (2, 150, True)])
+    @pytest.mark.parametrize("seed,n,opaque", [
+        (0, 60, False),
+        pytest.param(2, 150, True, marks=pytest.mark.slow)])
     def test_grads_match_autodiff_chunked(self, seed, n, opaque):
         means, scales, quats, colors, opac, cam = make_scene(
             n, seed, w=48, h=32, opaque=opaque)
@@ -102,6 +104,7 @@ class TestPallasBackward:
             np.testing.assert_allclose(a, b, atol=3e-5, rtol=2e-3,
                                        err_msg=nm)
 
+    @pytest.mark.slow
     def test_grad_nonzero_and_finite(self):
         means, scales, quats, colors, opac, cam = make_scene(80, 5, w=32,
                                                              h=32)
@@ -120,6 +123,7 @@ class TestPallasBackward:
 
 
 class TestGradPackBF16:
+    @pytest.mark.slow
     def test_packed_reduce_close_to_f32(self, monkeypatch):
         """The TPU-only bf16-packed permute gather rounds per-pair grads
         (~0.4% relative); per-gaussian sums must stay close to the f32

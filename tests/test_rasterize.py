@@ -98,7 +98,10 @@ class TestOracleBasics:
 
 class TestTiledVsOracle:
     @pytest.mark.parametrize("impl", ["tiles", "chunked"])
-    @pytest.mark.parametrize("seed,n", [(0, 50), (1, 200), (2, 400)])
+    @pytest.mark.parametrize("seed,n", [
+        (0, 50),
+        pytest.param(1, 200, marks=pytest.mark.slow),
+        pytest.param(2, 400, marks=pytest.mark.slow)])
     def test_tiled_matches_oracle(self, seed, n, impl):
         means, scales, quats, colors, opac, cam = make_scene(n, seed)
         img_o, a_o = full_pipeline(means, scales, quats, colors, opac, cam, impl="oracle")
@@ -160,6 +163,7 @@ class TestTiledVsOracle:
 
 
 class TestGradients:
+    @pytest.mark.slow
     def test_grads_match_between_impls(self):
         means, scales, quats, colors, opac, cam = make_scene(60, 5, w=32, h=32)
         target = jax.random.uniform(jax.random.PRNGKey(0), (32, 32, 3))

@@ -166,6 +166,7 @@ class TestSceneForward:
 
 
 class TestSceneTraining:
+    @pytest.mark.slow
     def test_train_and_refine(self):
         store = make_store()
         tracks = make_tracks()

@@ -32,7 +32,10 @@ def make_cameras(n):
     return cams
 
 
-@pytest.mark.parametrize("data,model", [(4, 2), (2, 4), (8, 1)])
+@pytest.mark.parametrize("data,model", [
+    (4, 2),
+    pytest.param(2, 4, marks=pytest.mark.slow),
+    pytest.param(8, 1, marks=pytest.mark.slow)])
 def test_sharded_step_runs(data, model):
     mesh = make_mesh(data=data, model=model)
     store = make_store()
