@@ -219,7 +219,7 @@ def _load_chunk(buf, slot, phi):
 
 
 def _fwd_kernel(ntx_ref, starts_ref, counts_ref, feat_hbm,
-                accum_ref, tfin_ref, ncon_ref, ring, buf, state, sem_r,
+                out_ref, ring, buf, state, sem_r,
                 sem, *, nc: int):
     """state: VMEM (PIX, 8) scratch — columns [T, done, ncon, pad...].
     Loop state lives in scratch refs (the while carry holds only scalars):
@@ -267,7 +267,12 @@ def _fwd_kernel(ntx_ref, starts_ref, counts_ref, feat_hbm,
 
     kcol = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
 
-    accum_ref[0] = jnp.zeros((nc, PIX), jnp.float32)
+    # One fused (nc+2, PIX) output block per tile: rows 0..nc-1 = accum,
+    # nc = final transmittance, nc+1 = n_contrib (exact small ints in
+    # f32). A single out_spec means ONE pipelined output DMA per grid
+    # step instead of three — at 6600 tiles the per-tile floor is ~0.5 us
+    # (tools/bench_tile_overhead.py), and output issue is part of it.
+    out_ref[0, 0:nc] = jnp.zeros((nc, PIX), jnp.float32)
     state[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)    # T
     state[:, 1:2] = jnp.zeros((PIX, 1), jnp.float32)   # done
     state[:, 2:3] = jnp.zeros((PIX, 1), jnp.float32)   # n_contrib
@@ -308,7 +313,7 @@ def _fwd_kernel(ntx_ref, starts_ref, counts_ref, feat_hbm,
         colors = frow[6:6 + nc, :]                            # (C, K)
         # Channel-row accumulation (C, PIX): HBM-crossing arrays keep PIX
         # (= 2 full lanes) as the minor dim, which Mosaic's DMA requires.
-        accum_ref[0] += jax.lax.dot_general(
+        out_ref[0, 0:nc] += jax.lax.dot_general(
             colors, w, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)               # (C, PIX)
         pair_no = (kcol + c * K + 1).astype(jnp.float32)
@@ -334,14 +339,14 @@ def _fwd_kernel(ntx_ref, starts_ref, counts_ref, feat_hbm,
         dma(c_end % 2, c_end).wait()
 
     # (PIX, 1) -> (1, PIX): once per tile, outside the chunk loop.
-    tfin_ref[0] = state[:, 0:1].T
-    ncon_ref[0] = state[:, 2:3].T.astype(jnp.int32)
+    out_ref[0, nc:nc + 1] = state[:, 0:1].T
+    out_ref[0, nc + 1:nc + 2] = state[:, 2:3].T
 
 
 def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
-                feat_hbm, g_accum_hbm, aux_hbm, gpair_init_hbm,
-                gpair_hbm, ring, buf, gbuf, pend, ga_s, aux_s, state,
-                sem_r, ga_sem, aux_sem, sem, gsem, *, nc: int,
+                feat_hbm, gaux_hbm, gpair_init_hbm,
+                gpair_hbm, ring, buf, gbuf, pend, ga_s, state,
+                sem_r, ga_sem, sem, gsem, *, nc: int,
                 with_rank: bool = False):
     """Forward-replay backward. Per-tile inputs (DMA'd to VMEM), both in
     channel-row form so PIX stays the lane-aligned minor dim:
@@ -388,17 +393,16 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
         return pltpu.make_async_copy(
             feat_hbm.at[pl.ds(r0, 2)], ring.at[u % 4], sem_r.at[u % 4])
 
+    # Per-tile IO rides ONE fused (nc+4, PIX) block: rows 0..nc-1 the
+    # accum cotangent, then [g_t, T_final, n_contrib, gdotacc] — one DMA
+    # + one semaphore per tile instead of two (per-tile fixed costs are
+    # ~0.5 us/tile of the kernel, tools/bench_tile_overhead.py).
     def ga_dma(u):
-        return pltpu.make_async_copy(g_accum_hbm.at[u], ga_s.at[u % 4],
+        return pltpu.make_async_copy(gaux_hbm.at[u], ga_s.at[u % 4],
                                      ga_sem.at[u % 4])
-
-    def aux_dma(u):
-        return pltpu.make_async_copy(aux_hbm.at[u], aux_s.at[u % 4],
-                                     aux_sem.at[u % 4])
 
     def prefetch(u):
         ga_dma(u).start()
-        aux_dma(u).start()
 
         @pl.when(nbwd_ref[u] > 0)
         def _():
@@ -416,9 +420,8 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
         prefetch(t + 3)
 
     ga_dma(t).wait()
-    aux_dma(t).wait()
-    g_accum_r = ga_s[t % 4, :, :]                             # (C, PIX)
-    aux = aux_s[t % 4, :, :].T                                # (PIX, 4)
+    g_accum_r = ga_s[t % 4, 0:nc, :]                          # (C, PIX)
+    aux = ga_s[t % 4, nc:nc + 4, :].T                         # (PIX, 4)
     gT = aux[:, 0:1]
     tfin = aux[:, 1:2]
     ncon = aux[:, 2:3]
@@ -858,15 +861,9 @@ def _fwd_call(feat, starts, counts, ntx, num_tiles: int, nc: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
-    in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=(
-            pl.BlockSpec((1, nc, PIX), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, PIX), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, PIX), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, nc + 2, PIX), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((4, 2, NFEAT, K), jnp.float32),   # chunk-0 ring
             pltpu.VMEM((2, 2, NFEAT, K), jnp.float32),
@@ -875,39 +872,35 @@ def _fwd_call(feat, starts, counts, ntx, num_tiles: int, nc: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    accum, tfin, ncon = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((num_tiles, nc, PIX), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1, PIX), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1, PIX), jnp.int32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, nc + 2, PIX),
+                                       jnp.float32),
         interpret=interpret,
     )(jnp.stack([jnp.asarray(ntx, jnp.int32),
                  jnp.asarray(tile0, jnp.int32)]), starts, counts, feat)
     # (T, C, PIX) -> (T, PIX, C) outside the kernel (free in XLA).
-    return accum.transpose(0, 2, 1), tfin[:, 0, :], ncon[:, 0, :]
+    return (out[:, 0:nc].transpose(0, 2, 1), out[:, nc],
+            out[:, nc + 1].astype(jnp.int32))
 
 
 def _bwd_call(feat, starts, counts, nbwd, gpair_rows: int, ntx,
-              num_tiles: int, nc: int, g_accum, aux,
+              num_tiles: int, nc: int, gaux,
               interpret: bool = False, with_rank: bool = False, tile0=0):
     kernel = functools.partial(_bwd_kernel, nc=nc, with_rank=with_rank)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((4, 2, NFEAT, K), jnp.float32),   # chunk-0 ring
             pltpu.VMEM((2, 2, NFEAT, K), jnp.float32),
             pltpu.VMEM((2, NFEAT, K), jnp.float32),
             pltpu.VMEM((NFEAT, K), jnp.float32),
-            pltpu.VMEM((4, nc, PIX), jnp.float32),       # ga ring
-            pltpu.VMEM((4, 4, PIX), jnp.float32),        # aux ring
+            pltpu.VMEM((4, nc + 4, PIX), jnp.float32),   # gaux ring
             pltpu.VMEM((PIX, 8), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -923,11 +916,11 @@ def _bwd_call(feat, starts, counts, nbwd, gpair_rows: int, ntx,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((gpair_rows, NFEAT, K), jnp.float32),
         interpret=interpret,
-        input_output_aliases={7: 0},
+        input_output_aliases={6: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(jnp.stack([jnp.asarray(ntx, jnp.int32),
                  jnp.asarray(tile0, jnp.int32)]), starts, counts, nbwd,
-      feat, g_accum, aux, gpair_init)
+      feat, gaux, gpair_init)
     return gpair
 
 
@@ -990,8 +983,10 @@ def _rasterize_pallas_bwd(width, height, num_gaussians, interpret,
     # alpha_out = 1 - T_final  =>  dL/dT_final = -g_alpha.
     g_t = -to_tiles(g_alpha, 1)[..., 0]
     gdotacc = jnp.sum(g_accum * accum, axis=-1)
-    aux = jnp.stack([g_t, tfin, ncon.astype(jnp.float32), gdotacc],
-                    axis=1)                                 # (T, 4, PIX)
+    gaux = jnp.concatenate([
+        g_accum.transpose(0, 2, 1),
+        jnp.stack([g_t, tfin, ncon.astype(jnp.float32), gdotacc],
+                  axis=1)], axis=1)                         # (T, nc+4, PIX)
 
     # The backward only needs chunks up to the last contributing pair
     # (everything behind it has zero gradient); n_contrib bounds that.
@@ -1001,8 +996,7 @@ def _rasterize_pallas_bwd(width, height, num_gaussians, interpret,
 
     gpair = _bwd_call(feat, bins.tile_start, bins.tile_count,
                       nchunks_bwd, max_pairs // K + 1, ntx, num_tiles,
-                      nc, g_accum.transpose(0, 2, 1), aux, interpret,
-                      with_rank=ranked)
+                      nc, gaux, interpret, with_rank=ranked)
 
     if ranked:
         seg = _reduce_pair_grads_ranked(
@@ -1087,14 +1081,15 @@ def _strip_bwd(n_tiles, ntx, num_gaussians, interpret, residuals,
     max_pairs = bins.gauss_idx.shape[0]
     g_t = -g_alpha                                       # alpha = 1 - T
     gdotacc = jnp.sum(g_accum * accum, axis=-1)
-    aux = jnp.stack([g_t, tfin, ncon.astype(jnp.float32), gdotacc],
-                    axis=1)                              # (T, 4, PIX)
+    gaux = jnp.concatenate([
+        g_accum.transpose(0, 2, 1),
+        jnp.stack([g_t, tfin, ncon.astype(jnp.float32), gdotacc],
+                  axis=1)], axis=1)                      # (T, nc+4, PIX)
     nchunks_bwd = jnp.minimum(
         (counts + K - 1) // K,
         (jnp.max(ncon, axis=1) + K - 1) // K).astype(jnp.int32)
     gpair = _bwd_call(feat, starts, counts, nchunks_bwd, max_pairs // K + 1,
-                      ntx, n_tiles, nc, g_accum.transpose(0, 2, 1), aux,
-                      interpret, tile0=tile0)
+                      ntx, n_tiles, nc, gaux, interpret, tile0=tile0)
     seg = _reduce_pair_grads(gpair, bins, num_gaussians, nc, interpret)
     return (seg[:, 0:2], seg[:, 2:5], seg[:, 6:6 + nc], seg[:, 5], None,
             jnp.zeros((), jnp.float32))

@@ -54,7 +54,7 @@ def _on_tpu(interpret: bool) -> bool:
 
 def _expand_kernel(base_ref, klo_ref, khi_ref, src_hbm, st_hbm, en_hbm,
                    out_ref, win, tm, acc, st_s, en_s, sems, *, block: int,
-                   window: int, c8: int):
+                   window: int, c8: int, e8: int):
     b = pl.program_id(0)
     # base_ref holds base/128: multiplying inside the kernel lets Mosaic
     # PROVE the dynamic DMA offsets are lane/sublane aligned.
@@ -85,17 +85,22 @@ def _expand_kernel(base_ref, klo_ref, khi_ref, src_hbm, st_hbm, en_hbm,
     # already exact in bf16 (0.0/1.0), and each output column receives
     # exactly one 1.0 multiply per term — so native-bf16 MXU passes
     # reproduce the f32 select bit-for-bit at HALF the cycles of
-    # Precision.HIGHEST's 6 passes (Mosaic has no HIGH lowering). The
-    # three terms stack on sublanes into ONE (3*C8, window) lhs.
+    # Precision.HIGHEST's 6 passes (Mosaic has no HIGH lowering). Only the
+    # first e8 rows (the caller's EXACT prefix) carry the two residual
+    # terms; rows past it hold values already exactly representable in
+    # bf16 (small ints, or attributes the bf16 precision mode rounded
+    # upstream) and ride the first term alone — the lhs shrinks from
+    # 3*c8 to c8 + 2*e8 sublanes, the dominant cost of the kernel.
     w = win[:, :]
     w1 = w.astype(jnp.bfloat16)
-    r1 = w - w1.astype(jnp.float32)
+    tm[0:c8, :] = w1
+    we = w[0:e8, :]
+    r1 = we - we.astype(jnp.bfloat16).astype(jnp.float32)
     w2 = r1.astype(jnp.bfloat16)
     w3 = (r1 - w2.astype(jnp.float32)).astype(jnp.bfloat16)
-    tm[0:c8, :] = w1
-    tm[c8:2 * c8, :] = w2
-    tm[2 * c8:3 * c8, :] = w3
-    acc[:, :] = jnp.zeros((3 * c8, block), jnp.float32)
+    tm[c8:c8 + e8, :] = w2
+    tm[c8 + e8:c8 + 2 * e8, :] = w3
+    acc[:, :] = jnp.zeros((c8 + 2 * e8, block), jnp.float32)
     # Two skip levels: whole window chunks outside the block's band
     # ([k_lo, k_hi), host-precomputed), then 256-slot SUB-BLOCKS against
     # the chunk's scalar source-range bounds — at ~2.2x expansion a
@@ -122,12 +127,15 @@ def _expand_kernel(base_ref, klo_ref, khi_ref, src_hbm, st_hbm, en_hbm,
                         tm[:, sl], oh,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
-    out_ref[:, :] = (acc[0:c8, :] + acc[c8:2 * c8, :]
-                     + acc[2 * c8:3 * c8, :])
+    out_ref[0:e8, :] = (acc[0:e8, :] + acc[c8:c8 + e8, :]
+                        + acc[c8 + e8:c8 + 2 * e8, :])
+    if e8 < c8:
+        out_ref[e8:c8, :] = acc[e8:c8, :]
 
 
 def expand_ragged(src: jax.Array, starts: jax.Array, ends: jax.Array,
-                  out_len: int, interpret: bool = False) -> jax.Array:
+                  out_len: int, interpret: bool = False,
+                  n_exact: int | None = None) -> jax.Array:
     """Ragged repeat: out[:, s] = src[:, i] for the unique i with
     starts[i] <= s < ends[i].
 
@@ -136,8 +144,16 @@ def expand_ragged(src: jax.Array, starts: jax.Array, ends: jax.Array,
     exclusive/inclusive cumsum of per-source counts). Slots covered by no
     source (beyond the total, or under a window-margin overflow from long
     zero-count runs) come out ZERO — callers treat zero rows as inert.
-    Returns (C, out_len) f32."""
+    Returns (C, out_len) f32.
+
+    n_exact (default: all) = length of the prefix of rows whose values
+    need full f32 exactness (bf16x3 term stacking); rows PAST it must be
+    exactly representable in bf16 already (small integers, or values the
+    caller rounded) and ride a single bf16 term — cutting the one-hot
+    matmul lhs by up to ~1/3."""
     c, s = src.shape
+    if n_exact is None:
+        n_exact = c
     if not _on_tpu(interpret):
         slot = jnp.arange(out_len, dtype=jnp.int32)
         owner = jnp.clip(
@@ -156,6 +172,7 @@ def expand_ragged(src: jax.Array, starts: jax.Array, ends: jax.Array,
     nb = (out_len + block - 1) // block
     pad_out = nb * block
     c8 = (c + 7) // 8 * 8   # HBM slices need 8-aligned sublane extents
+    e8 = min((max(n_exact, 1) + 7) // 8 * 8, c8)
     src_p = jnp.pad(src.astype(jnp.float32), ((0, c8 - c), (0, window)))
     sentinel = jnp.iinfo(jnp.int32).max
     # Run bounds as (rows, 128) lane-major blocks — the only DMA-sliceable
@@ -190,7 +207,7 @@ def expand_ragged(src: jax.Array, starts: jax.Array, ends: jax.Array,
     en_p = en_p.reshape(-1, LANES)
     out = pl.pallas_call(
         functools.partial(_expand_kernel, block=block, window=window,
-                          c8=c8),
+                          c8=c8, e8=e8),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(nb,),
@@ -199,8 +216,8 @@ def expand_ragged(src: jax.Array, starts: jax.Array, ends: jax.Array,
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((c8, window), jnp.float32),
-                pltpu.VMEM((3 * c8, window), jnp.bfloat16),
-                pltpu.VMEM((3 * c8, block), jnp.float32),
+                pltpu.VMEM((c8 + 2 * e8, window), jnp.bfloat16),
+                pltpu.VMEM((c8 + 2 * e8, block), jnp.float32),
                 pltpu.VMEM((wr8, LANES), jnp.int32),
                 pltpu.VMEM((wr8, LANES), jnp.int32),
                 pltpu.SemaphoreType.DMA((3,)),

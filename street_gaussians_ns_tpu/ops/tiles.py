@@ -284,35 +284,42 @@ def bin_and_pack(
     y1t = jnp.where(nz, y0_s + last + 1, 0)
     hrows = jnp.where(nz, y1t - y0t, 0)
 
-    # Row 14 carries the per-pair identity the caller needs downstream:
+    # Row 2 carries the per-pair identity the caller needs downstream:
     # the ORIGINAL index when gauss_idx is requested, else the DEPTH RANK
     # (the gradient reduce sums per rank and un-sorts once at the end —
     # exact in f32 far beyond any gaussian count).
     ident = (idx_s if with_gauss_idx
              else jnp.arange(n, dtype=jnp.int32)).astype(jnp.float32)
 
+    # Expansion column layout: the EXACT-f32 prefix first (screen xy and
+    # the big ints: rank, run starts, tile ids), then columns that are
+    # exactly representable in bf16 — small ints (box coords < 256, hit
+    # flag) and, in bf16 precision mode, the already-rounded attribute
+    # columns. The expansion kernel then runs its bf16x3 term stacking
+    # on the prefix only (n_exact), cutting its matmul lhs by ~1/3.
+    # In f32 mode the attributes need exactness, so n_exact covers all.
     # Level 1: gaussians -> (gaussian, tile-row) runs.
     cum_r = cumsum_flat(hrows, interpret=interpret)
     starts_r = cum_r - hrows
     src16 = jnp.stack([
-        x_s, y_s, ca_s, cb_s, cc_s, op_s, f0_s, f1_s, f2_s, f3_s,
+        x_s, y_s, ident, starts_r.astype(jnp.float32),
         x0_s.astype(jnp.float32), x1_s.astype(jnp.float32),
         y0t.astype(jnp.float32), y1t.astype(jnp.float32),
-        ident,
-        starts_r.astype(jnp.float32),
+        ca_s, cb_s, cc_s, op_s, f0_s, f1_s, f2_s, f3_s,
     ])                                               # (16, N)
     r = expand_ragged(src16, starts_r, cum_r, max_rowruns,
-                      interpret=interpret)           # (16, MR)
+                      interpret=interpret,
+                      n_exact=4 if bf16 else 16)     # (16, MR)
     rr = jnp.arange(max_rowruns, dtype=jnp.int32)
-    rstart = r[15].astype(jnp.int32)
-    ty = r[12].astype(jnp.int32) + (rr - rstart)
-    rbox = jnp.stack([r[10], r[11], r[12], r[13]], -1).astype(jnp.int32)
+    rstart = r[3].astype(jnp.int32)
+    ty = r[6].astype(jnp.int32) + (rr - rstart)
+    rbox = jnp.stack([r[4], r[5], r[6], r[7]], -1).astype(jnp.int32)
     rvalid = rr < jnp.minimum(cum_r[-1] if n > 0 else jnp.int32(0),
                               max_rowruns)
     # Zero-filled (uncovered) slots have y1b == 0 => in_row False => wr 0.
     x0r, x1r = row_tile_range(
-        jnp.stack([r[2], r[3], r[4]], -1), jnp.stack([r[0], r[1]], -1),
-        rbox, ty, tile_size, coverage_q(r[5]))
+        jnp.stack([r[8], r[9], r[10]], -1), jnp.stack([r[0], r[1]], -1),
+        rbox, ty, tile_size, coverage_q(r[11]))
     wr = jnp.where(rvalid, x1r - x0r, 0)
 
     # Level 2: runs -> pairs.
@@ -320,20 +327,21 @@ def bin_and_pack(
     starts2 = cum2 - wr
     total = cum2[-1] if n > 0 else jnp.int32(0)
     src14 = jnp.concatenate([
-        r[0:10],
-        r[14][None],                                  # original index
+        r[0:3],                                       # x, y, ident
         (ty * ntx + x0r).astype(jnp.float32)[None],   # first tile of row
         starts2.astype(jnp.float32)[None],
         jnp.ones((1, max_rowruns), jnp.float32),      # hit flag
+        r[8:16],                                      # ca..op, f0..f3
     ])                                                # (14, MR)
     p = expand_ragged(src14, starts2, cum2, max_pairs,
-                      interpret=interpret)            # (14, MP)
+                      interpret=interpret,
+                      n_exact=5 if bf16 else 14)      # (14, MP)
     slot = jnp.arange(max_pairs, dtype=jnp.int32)
-    hit = p[13] > 0.5
+    hit = p[5] > 0.5
     valid = (slot < total) & hit
-    g = jnp.where(valid, p[10].astype(jnp.int32), n)
+    g = jnp.where(valid, p[2].astype(jnp.int32), n)
     tile_id = jnp.where(
-        valid, p[11].astype(jnp.int32) + (slot - p[12].astype(jnp.int32)),
+        valid, p[3].astype(jnp.int32) + (slot - p[4].astype(jnp.int32)),
         num_tiles)
 
     # Per-rank pair counts come from the analytic row loop above (exactly
@@ -350,9 +358,11 @@ def bin_and_pack(
     # slots) — and skips the slot + gauss-index payloads entirely (the
     # rank-keyed gradient reduce needs neither; each payload is
     # ~0.6 ms/M pairs).
+    pcols = [p[0], p[1], p[6], p[7], p[8], p[9], p[10], p[11], p[12],
+             p[13]]          # [x, y, ca, cb, cc, op, f0..f3]
     if with_gauss_idx:
         (tile_sorted, slot_sorted, g_sorted, *feats) = jax.lax.sort(
-            (tile_id, slot, g) + tuple(p[i] for i in range(10)),
+            (tile_id, slot, g) + tuple(pcols),
             num_keys=1, is_stable=True)
     elif bf16:
         # Production diet: xy f32, the 8 attribute columns as 4 bf16
@@ -361,10 +371,10 @@ def bin_and_pack(
         # the depth sort, so this re-pack is lossless).
         from .packing import pack2, unpack2
 
-        rank_col = jnp.where(valid, p[10], jnp.float32(n))
+        rank_col = jnp.where(valid, p[2], jnp.float32(n))
         (tile_sorted, fx, fy, q0, q1, q2, q3, rank_s) = jax.lax.sort(
-            (tile_id, p[0], p[1], pack2(p[2], p[3]), pack2(p[4], p[5]),
-             pack2(p[6], p[7]), pack2(p[8], p[9]), rank_col),
+            (tile_id, p[0], p[1], pack2(p[6], p[7]), pack2(p[8], p[9]),
+             pack2(p[10], p[11]), pack2(p[12], p[13]), rank_col),
             num_keys=1, is_stable=True)
         u0 = unpack2(q0)
         u1 = unpack2(q1)
@@ -375,9 +385,9 @@ def bin_and_pack(
         slot_sorted = jnp.zeros_like(tile_sorted)
         g_sorted = jnp.zeros_like(tile_sorted)
     else:
-        rank_col = jnp.where(valid, p[10], jnp.float32(n))
+        rank_col = jnp.where(valid, p[2], jnp.float32(n))
         (tile_sorted, *feats) = jax.lax.sort(
-            (tile_id,) + tuple(p[i] for i in range(10)) + (rank_col,),
+            (tile_id,) + tuple(pcols) + (rank_col,),
             num_keys=1, is_stable=True)
         slot_sorted = jnp.zeros_like(tile_sorted)
         g_sorted = jnp.zeros_like(tile_sorted)

@@ -5,6 +5,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from street_gaussians_ns_tpu.core import quaternions as quat
 from street_gaussians_ns_tpu.core.cameras import Camera

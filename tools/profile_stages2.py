@@ -110,21 +110,20 @@ def main():
         lambda f, s, c: cp._fwd_call(f, s, c, ntx, T, 4))(
         feat, bins.tile_start, bins.tile_count))
 
-    g_accum = jnp.ones((T, 4, cp.PIX), jnp.float32)
-    aux = jnp.ones((T, 4, cp.PIX), jnp.float32)
+    gaux = jnp.ones((T, 8, cp.PIX), jnp.float32)
     nbwd = jnp.minimum((bins.tile_count + K - 1) // K,
                        (jnp.max(ncon, axis=1) + K - 1) // K).astype(
         jnp.int32)
     print("live rows (sum nbwd):", int(jnp.sum(nbwd)), "of", MP // K,
           flush=True)
     if want("bwd"):
-        bench("bwd_kernel", lambda f, s, c, nb, ga, au: cp._bwd_call(
-            f, s, c, nb, MP // K + 1, ntx, T, 4, ga, au, with_rank=True),
-            feat, bins.tile_start, bins.tile_count, nbwd, g_accum, aux)
+        bench("bwd_kernel", lambda f, s, c, nb, ga: cp._bwd_call(
+            f, s, c, nb, MP // K + 1, ntx, T, 4, ga, with_rank=True),
+            feat, bins.tile_start, bins.tile_count, nbwd, gaux)
     gpair = jax.block_until_ready(jax.jit(
-        lambda f, s, c, nb, ga, au: cp._bwd_call(
-            f, s, c, nb, MP // K + 1, ntx, T, 4, ga, au, with_rank=True))(
-        feat, bins.tile_start, bins.tile_count, nbwd, g_accum, aux))
+        lambda f, s, c, nb, ga: cp._bwd_call(
+            f, s, c, nb, MP // K + 1, ntx, T, 4, ga, with_rank=True))(
+        feat, bins.tile_start, bins.tile_count, nbwd, gaux))
 
     if want("reduce"):
         bench("reduce_ranked",
