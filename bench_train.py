@@ -88,7 +88,7 @@ def bench_train_step(quick=False):
     cfg = scene_cfg()
     bg = store_from_scene(n, cap)
     obj = jax.tree.map(lambda x: x[None][:0], bg)
-    tracks = empty_tracks()
+    tracks = empty_tracks(num_objects=0, num_frames=2)
     store = init_scene_graph_store(bg, obj, tracks, cfg)
     state = init_scene_train_state(store, jax.random.PRNGKey(0))
     rcfg = RenderConfig(
@@ -172,7 +172,7 @@ def bench_time_to_psnr(quick=False):
     cap = 32_768
     bg = store_from_scene(10_000, cap, seed=1)
     obj = jax.tree.map(lambda x: x[None][:0], bg)
-    tracks = empty_tracks()
+    tracks = empty_tracks(num_objects=0, num_frames=2)
     store = init_scene_graph_store(bg, obj, tracks, cfg)
     state = init_scene_train_state(store, jax.random.PRNGKey(0))
     batch = {"image": target}

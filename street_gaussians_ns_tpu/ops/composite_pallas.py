@@ -265,6 +265,17 @@ def _fwd_kernel(ntx_ref, starts_ref, counts_ref, feat_hbm,
     def _():
         ring_dma(t + 3).start()
 
+    # Deep in-tile prefetch: chunks 1..3 issue while chunk 0 (from the
+    # cross-tile ring) computes — a chunk's 16 KB DMA is ~free to
+    # transfer but ~1 us of latency, the dominant per-chunk overhead at
+    # the median ~1-4 chunks/tile (tools/bench_tile_overhead.py). 4 slots
+    # (slot = c % 4): chunk c+4 reuses c's slot and is started at
+    # iteration c+1, after c's wait at iteration c.
+    for c0 in range(1, 4):
+        @pl.when(c0 < n_chunks)
+        def _():
+            dma(c0 % 4, c0).start()
+
     kcol = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
 
     # One fused (nc+2, PIX) output block per tile: rows 0..nc-1 = accum,
@@ -283,11 +294,11 @@ def _fwd_kernel(ntx_ref, starts_ref, counts_ref, feat_hbm,
 
     def body(carry):
         c, _ = carry
-        slot = c % 2
+        slot = c % 4
 
-        @pl.when(c + 1 < n_chunks)
+        @pl.when((c + 3 < n_chunks) & (c > 0))
         def _():
-            dma((c + 1) % 2, c + 1).start()
+            dma((c + 3) % 4, c + 3).start()
 
         @pl.when(c == 0)
         def _():
@@ -297,7 +308,7 @@ def _fwd_kernel(ntx_ref, starts_ref, counts_ref, feat_hbm,
         def _():
             dma(slot, c).wait()
 
-        # Chunk 0 lives in the ring slot, later chunks in the double
+        # Chunk 0 lives in the ring slot, later chunks in the deep
         # buffer; both loads are cheap VMEM reads and the select keeps the
         # loop body branch-free.
         frow = jnp.where(c == 0, _load_chunk(ring, t % 4, phi),
@@ -329,14 +340,20 @@ def _fwd_kernel(ntx_ref, starts_ref, counts_ref, feat_hbm,
     c_end, _ = jax.lax.while_loop(cond, body,
                                   (jnp.int32(0), jnp.bool_(False)))
 
-    # Early exit leaves the prefetched next chunk's DMA in flight; drain
-    # it or its completion signal corrupts the next tile's semaphore
+    # Early exit leaves up to 3 prefetched chunk DMAs in flight; drain
+    # them or their completion signals corrupt the next tile's semaphore
     # protocol. c_end == 0 can only happen when n_chunks == 0 (chunk 0
-    # always runs), so the in-flight chunk here is always a double-buffer
-    # one; the ring slot was consumed by chunk 0's wait.
-    @pl.when((c_end > 0) & (c_end < n_chunks))
-    def _():
-        dma(c_end % 2, c_end).wait()
+    # always runs), so in-flight chunks here are always buffer ones; the
+    # ring slot was consumed by chunk 0's wait.
+    # Started chunks = {1..3} U {c+3 for executed c >= 1}; waited =
+    # {1..c_end-1}: the in-flight set is [max(c_end,1), max(3, c_end+2)]
+    # clipped to < n_chunks — at most 3 chunks.
+    drain_lo = jnp.maximum(c_end, 1)
+    drain_hi = jnp.minimum(jnp.maximum(3, c_end + 2), n_chunks - 1)
+    for d in range(3):
+        @pl.when(drain_lo + d <= drain_hi)
+        def _():
+            dma((drain_lo + d) % 4, drain_lo + d).wait()
 
     # (PIX, 1) -> (1, PIX): once per tile, outside the chunk loop.
     out_ref[0, nc:nc + 1] = state[:, 0:1].T
@@ -419,6 +436,13 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
     def _():
         prefetch(t + 3)
 
+    # Deep in-tile prefetch (see _fwd_kernel): chunks 1..3 issue before
+    # the chunk loop; 4 input slots, slot = c % 4.
+    for c0 in range(1, 4):
+        @pl.when(c0 < n_chunks)
+        def _():
+            dma_in(c0 % 4, c0).start()
+
     ga_dma(t).wait()
     g_accum_r = ga_s[t % 4, 0:nc, :]                          # (C, PIX)
     aux = ga_s[t % 4, nc:nc + 4, :].T                         # (PIX, 4)
@@ -451,11 +475,12 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
 
     def body(carry):
         c, _ = carry
-        slot = c % 2
+        slot = c % 4        # input buffer slot (deep prefetch)
+        gslot = c % 2       # gradient-out double-buffer slot
 
-        @pl.when(c + 1 < n_chunks)
+        @pl.when((c + 3 < n_chunks) & (c > 0))
         def _():
-            dma_in((c + 1) % 2, c + 1).start()
+            dma_in((c + 3) % 4, c + 3).start()
 
         @pl.when(c == 0)
         def _():
@@ -467,7 +492,7 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
 
         @pl.when(c >= 2)
         def _():
-            wait_gout(slot, c - 2)
+            wait_gout(gslot, c - 2)
 
         T = state[:, 0:1]
         done = state[:, 1:2] > 0.5
@@ -560,9 +585,9 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
 
         @pl.when(row0 + c < r_end)
         def _():
-            gbuf[slot] = row_full
-            pltpu.make_async_copy(gbuf.at[slot], gpair_hbm.at[row0 + c],
-                                  gsem.at[slot]).start()
+            gbuf[gslot] = row_full
+            pltpu.make_async_copy(gbuf.at[gslot], gpair_hbm.at[row0 + c],
+                                  gsem.at[gslot]).start()
             pend[:, :] = jnp.where(lane < phi, rotated, 0.0)
 
         @pl.when(row0 + c >= r_end)
@@ -579,12 +604,14 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
     c_end, _ = jax.lax.while_loop(cond, body,
                                   (jnp.int32(0), jnp.bool_(False)))
 
-    # Drain the in-flight prefetch on early exit (see _fwd_kernel):
-    # c_end == 0 means n_chunks == 0 (nothing issued); otherwise the
-    # in-flight chunk is a double-buffer one (ring consumed at c == 0).
-    @pl.when((c_end > 0) & (c_end < n_chunks))
-    def _():
-        dma_in(c_end % 2, c_end).wait()
+    # Drain the in-flight deep prefetch on early exit (see _fwd_kernel):
+    # started = {1..3} U {c+3 for executed c >= 1}, waited = {1..c_end-1}.
+    drain_lo = jnp.maximum(c_end, 1)
+    drain_hi = jnp.minimum(jnp.maximum(3, c_end + 2), n_chunks - 1)
+    for d in range(3):
+        @pl.when(drain_lo + d <= drain_hi)
+        def _():
+            dma_in((drain_lo + d) % 4, drain_lo + d).wait()
 
     @pl.when(c_end >= 2)
     def _():
@@ -866,10 +893,10 @@ def _fwd_call(feat, starts, counts, ntx, num_tiles: int, nc: int,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((4, 2, NFEAT, K), jnp.float32),   # chunk-0 ring
-            pltpu.VMEM((2, 2, NFEAT, K), jnp.float32),
+            pltpu.VMEM((4, 2, NFEAT, K), jnp.float32),   # deep buffer
             pltpu.VMEM((PIX, 8), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     out = pl.pallas_call(
@@ -896,14 +923,14 @@ def _bwd_call(feat, starts, counts, nbwd, gpair_rows: int, ntx,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((4, 2, NFEAT, K), jnp.float32),   # chunk-0 ring
-            pltpu.VMEM((2, 2, NFEAT, K), jnp.float32),
+            pltpu.VMEM((4, 2, NFEAT, K), jnp.float32),   # deep in buffer
             pltpu.VMEM((2, NFEAT, K), jnp.float32),
             pltpu.VMEM((NFEAT, K), jnp.float32),
             pltpu.VMEM((4, nc + 4, PIX), jnp.float32),   # gaux ring
             pltpu.VMEM((PIX, 8), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((4,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

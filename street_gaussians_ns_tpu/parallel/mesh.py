@@ -28,8 +28,11 @@ def make_mesh(data: Optional[int] = None, model: Optional[int] = None,
         data = n // model
     elif model is None:
         model = n // data
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
-    return Mesh(devices.reshape(data, model), ("data", "model"))
+    assert data * model <= n, f"mesh {data}x{model} > {n} devices"
+    # Both axes given smaller than the machine: use the first data*model
+    # devices (lets tests and partial-machine runs pick a sub-mesh).
+    return Mesh(devices[:data * model].reshape(data, model),
+                ("data", "model"))
 
 
 def multihost_init(coordinator: Optional[str] = None,

@@ -168,3 +168,37 @@ def test_eval_all_images_cadence(clip, tmp_path_factory):
     assert len(rows) >= 2
     assert all(np.isfinite(r["eval/all_psnr"]) for r in rows)
     assert rows[0]["eval/all_images"] == trainer.dm.num_eval
+
+
+# ---------------------------------------------------------------------------
+# ShardedTrainer end-to-end on the synthetic clip (virtual 8-CPU mesh)
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_trainer_smoke(clip, tmp_path_factory):
+    """The driveable multi-chip path: ShardedTrainer on a (2, 2) mesh over
+    the synthetic clip — shares Trainer's host loop (refine cadence, pair
+    growth, metrics) with the shard_mapped step; a second construction
+    resumes from the checkpoint."""
+    from street_gaussians_ns_tpu.parallel.trainer import ShardedTrainer
+
+    out = tmp_path_factory.mktemp("sharded_run")
+    data_cfg, scene_cfg, trainer_cfg, dm_cfg = small_configs(clip, out)
+    trainer_cfg = dataclasses.replace(
+        trainer_cfg, max_num_iterations=4, steps_per_save=4,
+        steps_per_eval_image=100)
+    trainer = ShardedTrainer(data_cfg, scene_cfg, trainer_cfg, dm_cfg,
+                             mesh_data=2, mesh_model=2)
+    assert trainer.mesh.shape == {"data": 2, "model": 2}
+    state = trainer.train()
+    assert int(state.step) == 4
+    metrics = [json.loads(l) for l in
+               open(out / "metrics.jsonl").read().splitlines()]
+    losses = [m["train/loss"] for m in metrics if "train/loss" in m]
+    assert losses and np.isfinite(losses).all()
+    assert any("train/num_pairs" in m for m in metrics)
+
+    # Resume through the same entry point.
+    trainer2 = ShardedTrainer(data_cfg, scene_cfg, trainer_cfg, dm_cfg,
+                              mesh_data=2, mesh_model=2)
+    assert trainer2.start_step == 4
