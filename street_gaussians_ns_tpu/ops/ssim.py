@@ -36,16 +36,27 @@ def _gaussian_window(win_size: int, sigma: float):
 
 
 def _blur(x: jax.Array, win: jax.Array) -> jax.Array:
-    """Separable depthwise gaussian blur. x: (1, C, H, W), valid padding."""
-    c = x.shape[1]
-    kh = jnp.tile(win.reshape(1, 1, -1, 1), (c, 1, 1, 1))  # (C,1,K,1)
-    kw = jnp.tile(win.reshape(1, 1, 1, -1), (c, 1, 1, 1))
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID", dimension_numbers=dn,
-                                     feature_group_count=c)
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID", dimension_numbers=dn,
-                                     feature_group_count=c)
-    return x
+    """Separable depthwise gaussian blur. x: (1, C, H, W), valid padding.
+
+    Implemented as shift-and-add (sum of K weighted slices per axis)
+    instead of lax.conv: XLA:TPU lowers a 3-channel depthwise conv far
+    off the roofline (~45 ms of a train step fwd+bwd at 1600x1056), while
+    K slice-FMAs fuse into ~1 VPU pass per axis and transpose to the same
+    form in the backward. Same math as the conv up to f32 summation
+    order."""
+    k = win.shape[0]
+    h = x.shape[2]
+    w = x.shape[3]
+    out = None
+    for i in range(k):
+        term = win[i] * x[:, :, i:i + h - k + 1, :]
+        out = term if out is None else out + term
+    x = out
+    out = None
+    for i in range(k):
+        term = win[i] * x[:, :, :, i:i + w - k + 1]
+        out = term if out is None else out + term
+    return out
 
 
 def ssim(

@@ -120,3 +120,26 @@ class TestCubemap:
         dirs = jax.random.normal(jax.random.PRNGKey(0), (50, 3))
         g = jax.grad(lambda c: jnp.sum(sample_cubemap(c, dirs)))(cube)
         assert float(jnp.abs(g).sum()) > 0
+
+
+class TestCubemapMatmulPath:
+    def test_matmul_matches_gather(self):
+        """The TPU one-hot MXU sampler must reproduce the gather path
+        (same bilinear weights, same edge clamping) for values AND the
+        cubemap cotangent."""
+        key = jax.random.PRNGKey(3)
+        cube = jax.random.uniform(key, (6, 16, 16, 3))
+        dirs = jax.random.normal(jax.random.fold_in(key, 1), (37, 11, 3))
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        ref = sample_cubemap(cube, dirs, method="gather")
+        out = sample_cubemap(cube, dirs, method="matmul")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+        cot = jax.random.uniform(jax.random.fold_in(key, 2), ref.shape)
+        g_ref = jax.grad(lambda c: jnp.sum(
+            sample_cubemap(c, dirs, method="gather") * cot))(cube)
+        g_out = jax.grad(lambda c: jnp.sum(
+            sample_cubemap(c, dirs, method="matmul") * cot))(cube)
+        np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                                   atol=1e-5)
