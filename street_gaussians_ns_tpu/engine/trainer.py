@@ -50,6 +50,10 @@ class TrainerConfig:
     output_dir: Path = Path("outputs/run")
     resume: bool = True
     render_impl: str = "pallas"   # "pallas" on TPU, "chunked" portable
+    render_precision: str = "auto"  # "auto" -> bf16 sort payloads on TPU
+    #                                 (RenderConfig.precision; ~2^-8
+    #                                 attribute rounding, xy exact),
+    #                                 f32 elsewhere; or "f32"/"bf16"
     viewer_port: Optional[int] = None   # live viewer (reference: viser,
     #                                     sgn_config.py:110); None = off
 
@@ -161,9 +165,13 @@ class Trainer:
                 self.writer.log(f"resumed from {latest} @ {self.start_step}")
         self.ckpt_dir = ckpt_dir
 
+        precision = trainer_config.render_precision
+        if precision == "auto":
+            precision = "bf16" if jax.default_backend() == "tpu" else "f32"
         self.render_config = RenderConfig(
             max_pairs=trainer_config.max_pairs,
             impl=trainer_config.render_impl,
+            precision=precision,
             # Pallas kernels need interpret mode off-TPU (CPU tests, dry
             # runs); compiled on the real chip.
             interpret=(trainer_config.render_impl == "pallas"

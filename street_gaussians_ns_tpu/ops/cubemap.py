@@ -115,7 +115,7 @@ def sample_cubemap(cubemap: jax.Array, dirs: jax.Array,
 
 
 def _sample_cubemap_matmul(cubemap: jax.Array, dirs: jax.Array,
-                          chunk: int = 32768) -> jax.Array:
+                           chunk: int = 131072) -> jax.Array:
     """Bilinear cube sample as two MXU contractions per pixel chunk.
 
     The bilinear tap is separable: color[p] = sum_r WROW[p, r] *
