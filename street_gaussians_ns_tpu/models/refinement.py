@@ -142,38 +142,64 @@ def refine(
     dups = do_densify & high_grads & (~big_world)
 
     # --- children --------------------------------------------------------
+    # XLA:TPU scatter runs element-serial (~7 ns/element), so candidate
+    # children must be COMPACTED before the placement scatter: generating
+    # (nsamps+1)*CAP candidates and scattering them cost ~650 ms at 1M
+    # capacity even though almost all were invalid. Parents that split or
+    # dup this round (typically a few %% of CAP) are compacted to a static
+    # CAP/16 budget first (one small stable sort + row gathers), children
+    # are generated only for them, and the scatter input shrinks ~16x.
+    # Parents past the budget are counted in children_dropped — the same
+    # fixed-capacity drop semantics the slot budget already had.
     nsamps = config.n_split_samples
+    capp = min(cap, max(256, cap // 16))
+    parent_has = splits | dups
+    order = jax.lax.sort(
+        ((~parent_has).astype(jnp.int32), jnp.arange(cap, dtype=jnp.int32)),
+        num_keys=1, is_stable=True)[1]
+    sel = order[:capp]                                 # (CAPP,) parents
+    psel = jax.tree.map(lambda x: x[sel], p)
+    splits_sel = splits[sel]
+    dups_sel = dups[sel]
+
     k_noise, = jax.random.split(rng, 1)
-    noise = jax.random.normal(k_noise, (nsamps, cap, 3), jnp.float32)
-    R = quat.to_rotmat(quat.normalize(p.quats))                    # (CAP,3,3)
-    samples = jnp.einsum("nij,snj->sni", R, noise * jnp.exp(p.scales))
-    split_means = p.means[None] + samples                          # (S,CAP,3)
+    noise = jax.random.normal(k_noise, (nsamps, capp, 3), jnp.float32)
+    R = quat.to_rotmat(quat.normalize(psel.quats))              # (CAPP,3,3)
+    samples = jnp.einsum("nij,snj->sni", R, noise * jnp.exp(psel.scales))
+    split_means = psel.means[None] + samples                    # (S,CAPP,3)
     split_scales = jnp.broadcast_to(
-        jnp.log(jnp.exp(p.scales) / 1.6), (nsamps, cap, 3))
+        jnp.log(jnp.exp(psel.scales) / 1.6), (nsamps, capp, 3))
 
     def rep(x, n):
         return jnp.broadcast_to(x[None], (n,) + x.shape).reshape(
-            (n * cap,) + x.shape[1:])
+            (n * capp,) + x.shape[1:])
 
     split_children = GaussianParams(
-        means=split_means.reshape(nsamps * cap, 3),
-        scales=split_scales.reshape(nsamps * cap, 3),
-        quats=rep(p.quats, nsamps),
-        features_dc=rep(p.features_dc, nsamps),
-        features_rest=rep(p.features_rest, nsamps),
-        opacities=rep(p.opacities, nsamps),
+        means=split_means.reshape(nsamps * capp, 3),
+        scales=split_scales.reshape(nsamps * capp, 3),
+        quats=rep(psel.quats, nsamps),
+        features_dc=rep(psel.features_dc, nsamps),
+        features_rest=rep(psel.features_rest, nsamps),
+        opacities=rep(psel.opacities, nsamps),
     )
-    dup_children = p
+    dup_children = psel
 
     children = GaussianParams(**{
         k: jnp.concatenate([getattr(split_children, k), getattr(dup_children, k)])
         for k in p.as_dict()
     })
     child_valid = jnp.concatenate([
-        jnp.broadcast_to(splits[None], (nsamps, cap)).reshape(-1), dups])
+        jnp.broadcast_to(splits_sel[None], (nsamps, capp)).reshape(-1),
+        dups_sel])
 
     new_params, new_active, placed, n_dropped = _scatter_children(
         p, store.active, children, child_valid)
+    # Children lost to the parent budget (not just the slot budget).
+    over_splits = jnp.sum(splits.astype(jnp.int32)) - jnp.sum(
+        splits_sel.astype(jnp.int32))
+    over_dups = jnp.sum(dups.astype(jnp.int32)) - jnp.sum(
+        dups_sel.astype(jnp.int32))
+    n_dropped = n_dropped + over_splits * nsamps + over_dups
 
     # --- cull over the full (post-scatter) buffer -------------------------
     alpha = jax.nn.sigmoid(new_params.opacities[:, 0])
