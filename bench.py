@@ -86,13 +86,31 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     mpix_s = (w * h / 1e6) / dt
+    detail = {"backend": backend, "impl": impl, "gaussians": n,
+              "resolution": [w, h], "ms_per_step": round(dt * 1e3, 2),
+              "precision": cfg.precision}
+    # Attach the training-side numbers when bench_train.py has run (the
+    # full scene_train_step + refine + the synthetic PSNR curve — the
+    # second north-star metric; see bench_train.json for the curves).
+    try:
+        import pathlib
+
+        bt = json.load(open(pathlib.Path(__file__).parent
+                            / "bench_train.json"))
+        detail["train_step_ms"] = bt[0]["detail"]["ms_amortized"]
+        detail["train_steps_per_s"] = bt[0]["value"]
+        detail["synthetic_psnr_2k_steps"] = bt[1]["value"]
+        curve = bt[1]["detail"]["curve"]
+        detail["synthetic_secs_to_psnr33"] = next(
+            (c["wall_s"] for c in curve if c["psnr"] >= 33.0), None)
+    except Exception:
+        pass
     print(json.dumps({
         "metric": "rasterize_fwd_bwd_mpix_per_s",
         "value": round(mpix_s, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
-        "detail": {"backend": backend, "impl": impl, "gaussians": n,
-                   "resolution": [w, h], "ms_per_step": round(dt * 1e3, 2)},
+        "detail": detail,
     }))
 
 
