@@ -175,21 +175,44 @@ def sharded_scene_loss(
 
         colors4 = jnp.concatenate([rgbs, pr.depths[:, None]], axis=-1)
 
-        # --- bin (full set; replicated across model cols) -------------------
-        bins = bin_gaussians(pr, width, height, ts, render_config.max_pairs,
-                             render_config.max_rowruns, opacities=opac)
-        bins_pad = dataclasses.replace(
-            bins,
-            tile_start=_pad_to(bins.tile_start, tiles_pad),
-            tile_count=_pad_to(bins.tile_count, tiles_pad))
-
         # --- composite MY tile strip ---------------------------------------
         m_idx = jax.lax.axis_index("model")
         my_tiles = m_idx * tl + jnp.arange(tl, dtype=jnp.int32)
 
         use_pallas = render_config.impl == "pallas" and ts == 16
 
+        # MAIN pass: fused bin+pack+composite — the feature stream rides
+        # the binning sorts (no per-pair _build_feat row gather, ~77 ms at
+        # bench scale). This is the whole step for the hot phase
+        # (subset_accs=False before stop_split_at).
+        bins = None
+        if use_pallas:
+            from ..ops.composite_pallas import composite_tiles_pallas_fused
+            accum_s, alpha_s, bins_main = composite_tiles_pallas_fused(
+                pr, colors4, opac, m_idx * tl, tl, width, height,
+                render_config.max_pairs, render_config.max_rowruns,
+                interpret=render_config.interpret,
+                last_color_is_depth=True,
+                precision=render_config.precision)
+        else:
+            bins = bin_gaussians(pr, width, height, ts,
+                                 render_config.max_pairs,
+                                 render_config.max_rowruns, opacities=opac)
+            bins_main = bins
+
         def strip(opac_in, colors_in):
+            nonlocal bins
+            if bins is None:
+                # Acc passes need shared per-tile ranges; built once (the
+                # fused main pass binned internally).
+                bins = bin_gaussians(pr, width, height, ts,
+                                     render_config.max_pairs,
+                                     render_config.max_rowruns,
+                                     opacities=opac)
+            bins_pad = dataclasses.replace(
+                bins,
+                tile_start=_pad_to(bins.tile_start, tiles_pad),
+                tile_count=_pad_to(bins.tile_count, tiles_pad))
             if use_pallas:
                 # Production kernels inside shard_map: contiguous strip =
                 # [m_idx*tl, (m_idx+1)*tl), no per-tile cap, no truncation
@@ -204,7 +227,8 @@ def sharded_scene_loss(
                 ts, render_config.max_per_tile, render_config.chunk)
             return accum, alpha
 
-        accum_s, alpha_s = strip(opac, colors4)
+        if not use_pallas:
+            accum_s, alpha_s = strip(opac, colors4)
 
         def gather_tiles(x):
             return jax.lax.all_gather(x, "model", axis=0,
@@ -253,8 +277,13 @@ def sharded_scene_loss(
             # device one (gsplat never drops pairs, sgn_splatfacto.py:
             # 860-873). Identical across model columns (binning is
             # replicated), pmax'd across data.
-            "num_pairs": jax.lax.pmax(bins.num_pairs, "data"),
-            "num_rowruns": jax.lax.pmax(bins.num_rowruns, "data"),
+            # stop_gradient: bins_main is an output of the fused strip's
+            # custom_vjp, so its leaves are nominally differentiable and
+            # pmax has no differentiation rule.
+            "num_pairs": jax.lax.pmax(
+                jax.lax.stop_gradient(bins_main.num_pairs), "data"),
+            "num_rowruns": jax.lax.pmax(
+                jax.lax.stop_gradient(bins_main.num_rowruns), "data"),
             # radii per gaussian for densification stats: bg local shard is
             # returned sharded; radii were computed pre-gather.
             "bg_radii": pr_bg.radii[None],

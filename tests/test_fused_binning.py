@@ -97,6 +97,7 @@ def test_fused_image_and_grads_match_unfused(seed, n, opaque):
         np.testing.assert_allclose(a, b, atol=1e-6, err_msg=nm)
 
 
+@pytest.mark.slow
 def test_bf16_precision_mode_close_to_f32():
     """precision="bf16" rides conics/opacity/colors through the binning
     sorts as bf16 pairs: images and gradients must track the f32 path

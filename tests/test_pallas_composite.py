@@ -40,8 +40,10 @@ def project_and_bin(means, scales, quats, cam):
 
 
 class TestPallasForward:
-    @pytest.mark.parametrize("seed,n,opaque", [(0, 60, False), (1, 200, False),
-                                               (2, 300, True)])
+    @pytest.mark.parametrize("seed,n,opaque", [
+        (0, 60, False),
+        pytest.param(1, 200, False, marks=pytest.mark.slow),
+        pytest.param(2, 300, True, marks=pytest.mark.slow)])
     def test_matches_chunked(self, seed, n, opaque):
         means, scales, quats, colors, opac, cam = make_scene(n, seed,
                                                              opaque=opaque)

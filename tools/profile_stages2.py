@@ -72,7 +72,8 @@ def main():
     means, scales, quats, opac, rgbs = make_scene(n)
     cam = Camera.make(1200.0, 1200.0, w / 2, h / 2, jnp.eye(3, 4), w, h)
     target = jnp.zeros((h, w, 3), jnp.float32)
-    cfg = RenderConfig(max_pairs=MP, max_rowruns=MR, impl="pallas")
+    cfg = RenderConfig(max_pairs=MP, max_rowruns=MR, impl="pallas",
+                   precision="bf16")
 
     vm = viewmat_from_c2w(cam.c2w)
     proj_fn = jax.jit(lambda m, s, q, o: project(
@@ -90,7 +91,8 @@ def main():
     def binp(xys, con, tbx, dkv, c4, op):
         return tl.bin_and_pack(xys, con, tbx, dkv, c4, op, w, h, 16,
                                MP, MR, with_gauss_idx=False,
-                               last_color_is_depth=True)
+                               last_color_is_depth=True,
+                               precision="bf16")
 
     if want("bin"):
         bench("bin_and_pack", binp, p.xys, p.conics, tb, dk, colors4, opac)
