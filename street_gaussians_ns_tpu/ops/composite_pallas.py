@@ -1181,10 +1181,17 @@ def _strip_fused_fwd(xys, conics, colors, opacities, depth_key, tile_box,
         interpret=interpret, with_gauss_idx=False,
         last_color_is_depth=last_color_is_depth, precision=precision)
     feat = _pack_feat_cols(feats, max_pairs, interpret=interpret)
-    # Zero-pad the per-tile ranges so the LAST model column's strip (whose
+    # Pad the per-tile ranges so the LAST model column's strip (whose
     # tile range may extend past the real grid when num_tiles does not
     # divide the mesh) reads empty tiles instead of clamping the slice.
-    ts_pad = jnp.pad(bins.tile_start, (0, n_tiles))
+    # Pad tiles MUST carry start = end-of-pairs (not 0): the backward's
+    # final-tile flush writes the boundary-row gradient carry to
+    # start // K, and a zero-padded tile would dump the last real tile's
+    # carry onto row 0 — losing the final partial row's gradients
+    # whenever its pairs contribute.
+    end = bins.tile_start[-1] + bins.tile_count[-1]
+    ts_pad = jnp.concatenate(
+        [bins.tile_start, jnp.full((n_tiles,), 1, jnp.int32) * end])
     tc_pad = jnp.pad(bins.tile_count, (0, n_tiles))
     starts = jax.lax.dynamic_slice(ts_pad, (tile0,), (n_tiles,))
     counts = jax.lax.dynamic_slice(tc_pad, (tile0,), (n_tiles,))

@@ -209,9 +209,17 @@ def sharded_scene_loss(
                                      render_config.max_pairs,
                                      render_config.max_rowruns,
                                      opacities=opac)
+            # Pad tiles carry start = end-of-pairs, NOT 0: the Pallas
+            # backward's final-tile flush writes the boundary-row carry
+            # to start // K, and a zero pad in a mixed real+pad strip
+            # would dump the last real tile's carry onto row 0 (see
+            # composite_pallas._strip_fused_fwd).
+            end = bins.tile_start[-1] + bins.tile_count[-1]
             bins_pad = dataclasses.replace(
                 bins,
-                tile_start=_pad_to(bins.tile_start, tiles_pad),
+                tile_start=jnp.concatenate([
+                    bins.tile_start,
+                    jnp.full((tiles_pad - num_tiles,), 1, jnp.int32) * end]),
                 tile_count=_pad_to(bins.tile_count, tiles_pad))
             if use_pallas:
                 # Production kernels inside shard_map: contiguous strip =

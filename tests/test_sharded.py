@@ -163,3 +163,41 @@ def test_sharded_surfaces_num_pairs_and_overflow_visible():
                         stack_batches(batches, H, W))
     assert int(m_t["num_pairs"]) == true_pairs
     assert true_pairs > 256
+
+
+@pytest.mark.slow
+def test_sharded_pallas_mixed_pad_strip_matches_single():
+    """Regression: when num_tiles does not divide the model axis, the
+    boundary strip contains real tiles followed by PAD tiles. Pad tiles
+    must carry start = end-of-pairs — a zero-padded start made the Pallas
+    backward flush the last real tile's boundary-row gradient carry onto
+    row 0 (corrupting pair-0 gradients and losing the boundary row)."""
+    W2, H2 = 80, 32          # ntx=5, nty=2 -> 10 tiles; model=4 -> tl=3
+    mesh = make_mesh(data=1, model=4)
+    cfg = dataclasses.replace(CFG, base=dataclasses.replace(
+        CFG.base, use_sky_sphere=False))
+    store = dataclasses.replace(make_store(), env_map=None)
+    tracks = make_tracks()
+    state = init_scene_train_state(store, jax.random.PRNGKey(0))
+    cam = Camera.make(40.0, 40.0, W2 / 2, H2 / 2, jnp.eye(3, 4), W2, H2,
+                      time=1.0)
+    batch = {"image": jnp.full((H2, W2, 3), 0.4)}
+
+    s_ref, m_ref = jax.jit(
+        lambda s: scene_train_step(s, tracks, cam, batch, cfg,
+                                   RCFG_PALLAS))(state)
+
+    step = make_sharded_train_step(mesh, cfg, RCFG_PALLAS, W2, H2,
+                                   cap_bg=store.background.capacity)
+    with jax.set_mesh(mesh):
+        s_sh, m_sh = step(state, tracks, stack_cameras([cam]),
+                          stack_batches([batch], H2, W2))
+
+    np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_sh.store.background.params.means),
+        np.asarray(s_ref.store.background.params.means), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_sh.store.background.xys_grad_norm),
+        np.asarray(s_ref.store.background.xys_grad_norm), atol=1e-5)
