@@ -167,3 +167,61 @@ def test_fused_depth_column_with_invisible_gaussians_is_finite():
     assert np.isfinite(float(l))
     for nm, x in zip(["xys", "conics", "colors", "opac"], g):
         assert bool(jnp.isfinite(x).all()), nm
+
+
+@pytest.mark.parametrize("precision", [
+    "f32", pytest.param("bf16", marks=pytest.mark.slow)])
+def test_strip_fused_tiles_match_full_image(precision):
+    """composite_tiles_pallas_fused over every strip must reproduce the
+    full-image fused render tile-for-tile, and the per-gaussian grads
+    summed over strips must equal the full-image grads (the sharded
+    path's collective transpose does exactly that sum)."""
+    import dataclasses
+    from street_gaussians_ns_tpu.ops.composite_pallas import (
+        TILE, PIX, composite_tiles_pallas_fused)
+
+    means, scales, quats, colors, opac, cam = make_scene(1, 150, w=80,
+                                                         h=32)
+    W2, H2 = 80, 32              # ntx=5, nty=2 -> 10 tiles
+    p = _project(means, scales, quats, cam)
+    bg = jnp.zeros((4,), jnp.float32)
+
+    def full(args):
+        xys, conics, cols, op = args
+        pr = dataclasses.replace(p, xys=xys, conics=conics)
+        img, alpha, _ = rasterize_tiles_pallas_fused(
+            pr, cols, op, W2, H2, 16, bg, MAX_PAIRS, interpret=True,
+            precision=precision)
+        return jnp.sum(img ** 2) + jnp.sum(alpha), (img, alpha)
+
+    # 4 strips of 3 tiles: the last strip is real tile 9 + 2 pads.
+    def strips(args):
+        xys, conics, cols, op = args
+        pr = dataclasses.replace(p, xys=xys, conics=conics)
+        total, accs, alphas = 0.0, [], []
+        for s in range(4):
+            accum, alpha, _ = composite_tiles_pallas_fused(
+                pr, cols, op, s * 3, 3, W2, H2, MAX_PAIRS,
+                interpret=True, precision=precision)
+            accs.append(accum)
+            alphas.append(alpha)
+        accum = jnp.concatenate(accs)[:10]          # drop pad tiles
+        alpha = jnp.concatenate(alphas)[:10]
+        img = accum.reshape(2, 5, TILE, TILE, 4).transpose(
+            0, 2, 1, 3, 4).reshape(H2, W2, 4)
+        alpha_img = alpha.reshape(2, 5, TILE, TILE).transpose(
+            0, 2, 1, 3).reshape(H2, W2)
+        return (jnp.sum(img ** 2) + jnp.sum(alpha_img),
+                (img, alpha_img))
+
+    args = (p.xys, p.conics, colors, opac)
+    (l_f, (img_f, a_f)), g_f = jax.value_and_grad(full, has_aux=True)(args)
+    (l_s, (img_s, a_s)), g_s = jax.value_and_grad(strips,
+                                                  has_aux=True)(args)
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_f),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_f),
+                               atol=1e-5)
+    for nm, a, b in zip(["xys", "conics", "colors", "opac"], g_s, g_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, err_msg=nm)
