@@ -55,7 +55,11 @@ def store_from_scene(n, cap, sh_degree=1, seed=0):
     params = GaussianParams(
         means=jnp.pad(means, ((0, pad), (0, 0))),
         scales=jnp.pad(jnp.log(scales), ((0, pad), (0, 0))),
-        quats=jnp.pad(quats, ((0, pad), (0, 0))),
+        # Identity-quat padding like models.gaussians.init_gaussians
+        # (zero rows are also grad-safe now, but stay consistent).
+        quats=jnp.concatenate([
+            quats, jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32),
+                            (pad, 1))]),
         features_dc=jnp.pad(rgb2sh(rgbs)[:, None, :],
                             ((0, pad), (0, 0), (0, 0))),
         features_rest=jnp.zeros((cap, k - 1, 3), jnp.float32),

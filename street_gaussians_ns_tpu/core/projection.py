@@ -58,8 +58,14 @@ def _cov3d_components(scales, quats):
     on TPU lanes (125/128 wasted); (N,) arrays tile as (8, 128) densely —
     this is the difference between ~85 ms and ~5 ms per million gaussians.
     """
-    q = quats / jnp.maximum(
-        jnp.sqrt(jnp.sum(quats * quats, axis=-1, keepdims=True)), 1e-12)
+    # Double-where zero-safe normalize (see core.quaternions.normalize):
+    # inactive store slots hold all-zero quats, and the max(norm, eps)
+    # guard alone still produces NaN GRADIENTS at 0 (0-cotangent x the
+    # sqrt's infinite slope), which then poisons the whole inactive row's
+    # parameters through Adam.
+    n2 = jnp.sum(quats * quats, axis=-1, keepdims=True)
+    tiny = n2 < 1e-24
+    q = jnp.where(tiny, quats, quats / jnp.sqrt(jnp.where(tiny, 1.0, n2)))
     w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
     # Rotation matrix entries (same formulas as quaternions.to_rotmat).
     r00 = 1 - 2 * (y * y + z * z)

@@ -13,8 +13,16 @@ import jax.numpy as jnp
 
 
 def normalize(q: jax.Array, eps: float = 1e-12) -> jax.Array:
-    """Normalize quaternions to unit norm. q: (..., 4)."""
-    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
+    """Normalize quaternions to unit norm. q: (..., 4).
+
+    Safe at q == 0 in VALUE and GRADIENT: the classic max(norm, eps)
+    guard still differentiates sqrt at 0 (0-cotangent x inf = NaN), which
+    poisoned every zero-filled INACTIVE store slot's gradients — the
+    double-where keeps both branches finite."""
+    n2 = jnp.sum(q * q, axis=-1, keepdims=True)
+    tiny = n2 < eps * eps
+    norm = jnp.sqrt(jnp.where(tiny, 1.0, n2))
+    return jnp.where(tiny, q, q / norm)
 
 
 def to_rotmat(q: jax.Array) -> jax.Array:

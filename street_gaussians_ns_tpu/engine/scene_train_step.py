@@ -47,6 +47,30 @@ def _gaussian_group_params(store: SceneGraphStore, name: str):
             "obj": getattr(store.objects.params, name)}
 
 
+def mask_inactive_grads(g_gauss: Dict, store: SceneGraphStore) -> Dict:
+    """Zero the gradient rows of INACTIVE store slots before Adam.
+
+    Inactive slots hold all-zero parameters; degenerate-input gradient
+    paths (norm-at-zero and friends) can emit NaN for exactly those rows
+    even though they contribute nothing to the render. Rendering stays
+    correct (the rows are masked), but Adam would write the NaNs into the
+    parameters — poisoning checkpoints and any unmasked consumer. The
+    value-side normalizers are zero-safe too (core.quaternions.normalize);
+    this mask is the defense-in-depth guarantee that state stays finite."""
+    bg_act = store.background.active
+    obj_act = store.objects.active
+
+    def mask_one(g):
+        bg = jnp.where(
+            bg_act.reshape((-1,) + (1,) * (g["bg"].ndim - 1)), g["bg"], 0.0)
+        obj = jnp.where(
+            obj_act.reshape(obj_act.shape + (1,) * (g["obj"].ndim - 2)),
+            g["obj"], 0.0)
+        return {"bg": bg, "obj": obj}
+
+    return {name: mask_one(g) for name, g in g_gauss.items()}
+
+
 def init_scene_train_state(store: SceneGraphStore, rng: jax.Array,
                            camera_opt: Optional[jax.Array] = None
                            ) -> SceneTrainState:
@@ -147,6 +171,7 @@ def scene_train_step(
         loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True)(
         gauss_params, store.env_map, bbox_params, xys_zero, cam_opt_in)
     g_gauss, g_env, g_bbox, g_xys, g_cam = grads
+    g_gauss = mask_inactive_grads(g_gauss, store)
 
     # --- per-group Adam ----------------------------------------------------
     new_opt = dict(state.opt)

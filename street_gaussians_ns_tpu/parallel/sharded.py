@@ -369,6 +369,7 @@ def make_sharded_train_step(
             wrapped, argnums=(0, 1, 2, 3, 4), has_aux=True)(
             gauss, store.env_map, bbox, off_bg, off_obj)
         g_gauss, g_env, g_bbox, g_off_bg, g_off_obj = grads
+        g_gauss = sts.mask_inactive_grads(g_gauss, store)
 
         new_opt = dict(state.opt)
         new_gauss = {}

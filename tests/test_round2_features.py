@@ -192,6 +192,9 @@ def test_sharded_trainer_smoke(clip, tmp_path_factory):
     assert trainer.mesh.shape == {"data": 2, "model": 2}
     state = trainer.train()
     assert int(state.step) == 4
+    # Eval renders from the model-sharded store (GSPMD gathers as needed).
+    m_eval = trainer.eval_image(4)
+    assert np.isfinite(m_eval["psnr"])
     metrics = [json.loads(l) for l in
                open(out / "metrics.jsonl").read().splitlines()]
     losses = [m["train/loss"] for m in metrics if "train/loss" in m]

@@ -135,3 +135,46 @@ class TestRefinement:
                             / (1 - 2 * CFG.cull_alpha_thresh)))
         assert float(s2.store.params.opacities.max()) <= lim + 1e-5
         assert float(jnp.abs(s2.opt["opacities"].mu).max()) == 0.0
+
+
+def test_inactive_zero_rows_never_poison_state():
+    """Regression: a store whose INACTIVE slots are all-zero (zero quats
+    included — e.g. a hand-built or resized store) must train with finite
+    state. The norm-at-zero backward used to emit NaN gradients for those
+    rows and Adam wrote them into the params (caught by
+    tools/soak_train.py at 1M scale)."""
+    import dataclasses as dc
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from test_scene_graph import CFG, H, W, make_store, make_tracks
+    from street_gaussians_ns_tpu.core.cameras import Camera
+    from street_gaussians_ns_tpu.engine.scene_train_step import (
+        init_scene_train_state, scene_train_step)
+    from street_gaussians_ns_tpu.ops.render import RenderConfig
+
+    store = make_store()
+    # Zero EVERY inactive background row, including quats.
+    act = store.background.active
+    params = store.background.params
+    zeroed = dc.replace(params, **{
+        f: jnp.where(act.reshape((-1,) + (1,) * (getattr(params, f).ndim - 1)),
+                     getattr(params, f), 0.0)
+        for f in ("means", "scales", "quats", "features_dc",
+                  "features_rest", "opacities")})
+    store = dc.replace(store, background=dc.replace(
+        store.background, params=zeroed))
+    state = init_scene_train_state(store, jax.random.PRNGKey(0))
+    cam = Camera.make(40.0, 40.0, W / 2, H / 2, jnp.eye(3, 4), W, H,
+                      time=1.0)
+    batch = {"image": jnp.full((H, W, 3), 0.4)}
+    rcfg = RenderConfig(max_pairs=16384, max_per_tile=128, chunk=16)
+    step = jax.jit(lambda s: scene_train_step(s, make_tracks(), cam, batch,
+                                              CFG, rcfg))
+    for _ in range(3):
+        state, m = step(state)
+    assert np.isfinite(float(m["loss"]))
+    for f in ("means", "scales", "quats", "features_dc", "features_rest",
+              "opacities"):
+        x = np.asarray(getattr(state.store.background.params, f))
+        assert np.isfinite(x).all(), f
