@@ -78,16 +78,40 @@ def main():
     g = step(means, scales, quats, opac, rgbs)
     jax.block_until_ready(g)
 
+    # Synchronized reference timing: block every step. The axon tunnel
+    # occasionally mis-reports pipelined timings by orders of magnitude
+    # (block_until_ready returning early) — per-step blocking is immune.
+    sync_iters = 5 if on_tpu else 2
+    t0 = time.perf_counter()
+    chk = 0.0
+    for _ in range(sync_iters):
+        g = step(means, scales, quats, opac, rgbs)
+        # A device->host scalar fetch CANNOT return before the step ran
+        # (data dependency), unlike a lied-about block_until_ready.
+        chk = float(jnp.sum(g[0][:8]))
+    dt_sync = (time.perf_counter() - t0) / sync_iters
+    assert jnp.isfinite(chk), f"non-finite grads in bench step: {chk}"
+
     iters = 20 if on_tpu else 3
     t0 = time.perf_counter()
     for _ in range(iters):
         g = step(means, scales, quats, opac, rgbs)
     jax.block_until_ready(g)
     dt = (time.perf_counter() - t0) / iters
+    timing_mode = "pipelined"
+    if dt < 0.15 * dt_sync:
+        # Pipelined reading is physically impossible relative to the
+        # synchronized one: the tunnel dropped the wait. Report the
+        # (slightly pessimistic: includes per-step dispatch latency)
+        # synchronized number instead of garbage.
+        dt = dt_sync
+        timing_mode = "sync-fallback"
 
     mpix_s = (w * h / 1e6) / dt
     detail = {"backend": backend, "impl": impl, "gaussians": n,
               "resolution": [w, h], "ms_per_step": round(dt * 1e3, 2),
+              "ms_per_step_sync": round(dt_sync * 1e3, 2),
+              "timing_mode": timing_mode,
               "precision": cfg.precision}
     # Attach the training-side numbers when bench_train.py has run (the
     # full scene_train_step + refine + the synthetic PSNR curve — the
