@@ -127,6 +127,11 @@ def main():
         curve = bt[1]["detail"]["curve"]
         detail["synthetic_secs_to_psnr33"] = next(
             (c["wall_s"] for c in curve if c["psnr"] >= 33.0), None)
+        if len(bt) > 2:
+            fcurve = bt[2]["detail"]["curve"]
+            detail["fullres_psnr_1200_steps"] = bt[2]["value"]
+            detail["fullres_secs_to_psnr33"] = next(
+                (c["wall_s"] for c in fcurve if c["psnr"] >= 33.0), None)
     except Exception:
         pass
     print(json.dumps({

@@ -219,9 +219,77 @@ def bench_time_to_psnr(quick=False):
     return row
 
 
+def bench_time_to_psnr_fullres(quick=False):
+    """Bench-scale convergence: 1M gaussians at 1600x1056 fitted to a
+    target rendered from a DIFFERENT (denser, re-seeded) splat set — the
+    closest available proxy for time-to-PSNR on a Waymo frame (the real
+    clips are not shipped in this environment)."""
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        return None
+    n, cap, w, h = 1_000_000, 1_048_576, 1600, 1056
+    cfg = scene_cfg()
+    cfg = dataclasses.replace(
+        cfg, background=dataclasses.replace(
+            cfg.background, warmup_length=100, stop_split_at=100000))
+    rcfg = RenderConfig(max_pairs=3_407_872, max_rowruns=1_703_936,
+                        impl="pallas", precision="bf16")
+    cam = Camera.make(1200.0, 1200.0, w / 2, h / 2, jnp.eye(3, 4), w, h)
+
+    gt_means, gt_scales, gt_quats, gt_opac, gt_rgbs = make_scene(
+        1_000_000, seed=11)
+    gt = render(gt_means, gt_scales * 1.6, gt_quats,
+                jnp.minimum(gt_opac * 1.4, 0.99), gt_rgbs, cam, rcfg)
+    target = jnp.clip(gt.rgb, 0.0, 1.0)
+
+    bg = store_from_scene(n, cap, seed=3)
+    obj = jax.tree.map(lambda x: x[None][:0], bg)
+    tracks = empty_tracks(num_objects=0, num_frames=2)
+    store = init_scene_graph_store(bg, obj, tracks, cfg)
+    state = init_scene_train_state(store, jax.random.PRNGKey(0))
+    batch = {"image": target}
+
+    step = jax.jit(functools.partial(
+        scene_train_step, config=cfg, render_config=rcfg,
+        subset_accs=False))
+    refine = jax.jit(functools.partial(scene_refine_step, config=cfg,
+                                       num_train_data=1))
+    state, m = step(state, tracks, cam, batch)
+    state, _ = refine(state, max_hw=jnp.float32(max(w, h)))
+    jax.block_until_ready(state.step)
+    # Fresh state after compile warmup.
+    store = init_scene_graph_store(store_from_scene(n, cap, seed=3), obj,
+                                   tracks, cfg)
+    state = init_scene_train_state(store, jax.random.PRNGKey(0))
+
+    total = 200 if quick else 1200
+    curve = []
+    t0 = time.perf_counter()
+    for i in range(total):
+        state, m = step(state, tracks, cam, batch)
+        if (i + 1) % 100 == 0:
+            state, _ = refine(state, max_hw=jnp.float32(max(w, h)))
+            psnr = float(m["psnr"])
+            curve.append({"step": i + 1, "psnr": round(psnr, 2),
+                          "wall_s": round(time.perf_counter() - t0, 2)})
+    row = {
+        "metric": "fullres_psnr_curve",
+        "value": curve[-1]["psnr"] if curve else float("nan"),
+        "unit": "dB",
+        "detail": {"curve": curve, "steps": total,
+                   "resolution": [w, h], "gaussians": n,
+                   "backend": jax.default_backend()},
+    }
+    print(json.dumps(row), flush=True)
+    return row
+
+
 def main():
     quick = "--quick" in sys.argv
     rows = [bench_train_step(quick), bench_time_to_psnr(quick)]
+    full = bench_time_to_psnr_fullres(quick)
+    if full is not None:
+        rows.append(full)
     json.dump(rows, open("bench_train.json", "w"), indent=2)
     print("wrote bench_train.json", flush=True)
 
