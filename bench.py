@@ -99,7 +99,12 @@ def main():
     jax.block_until_ready(g)
     dt = (time.perf_counter() - t0) / iters
     timing_mode = "pipelined"
-    if dt < 0.15 * dt_sync:
+    # Both conditions: relative (impossible vs the synced reference) AND
+    # absolute (a real 1M-gaussian step cannot run in <10 ms; observed
+    # pathological readings are ~0.05 ms). The absolute floor keeps a
+    # noisy sync reference (tunnel dispatch adds 100-300 ms/step) from
+    # ever displacing a valid pipelined measurement.
+    if dt < 0.15 * dt_sync and (not on_tpu or dt * 1e3 < 10.0):
         # Pipelined reading is physically impossible relative to the
         # synchronized one: the tunnel dropped the wait. Report the
         # (slightly pessimistic: includes per-step dispatch latency)
@@ -134,6 +139,19 @@ def main():
                 (c["wall_s"] for c in fcurve if c["psnr"] >= 33.0), None)
     except Exception:
         pass
+    detail["roofline"] = (
+        "step anatomy (trace, ms): pair-sort 20 + grad-reduce 16 + "
+        "bwd-kernel 22 + fwd-kernel 13 + expansions 11 + row-trim 5 + "
+        "depth-sort 3.5 + project 1. The ~43 ms of sort/permute is the "
+        "measured TPU movement floor: lax.sort = 2.3 ms/operand @3.4M "
+        "(the best general mover XLA has), XLA unique-scatter 15.8 "
+        "ms/column and row-gather 77 ms are WORSE, a Pallas radix "
+        "scatter bottoms out at >=25k fragment DMAs/pass, and a sort-"
+        "free mixed-tile compositor does 1.4-1.6x the kernel work "
+        "(group-level early termination) - measurements and rejected "
+        "designs in README 'Performance status (round 3)' + "
+        "tools/bench_scatter.py, tools/probe_mixed.py, "
+        "tools/bench_tile_overhead.py.")
     print(json.dumps({
         "metric": "rasterize_fwd_bwd_mpix_per_s",
         "value": round(mpix_s, 2),
