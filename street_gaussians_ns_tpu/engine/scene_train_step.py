@@ -154,7 +154,11 @@ def scene_train_step(
         outputs, rout, _ = forward_scene(
             s, tracks, cam, state.step, config, render_config,
             rng=k_sky, training=True, xys_offset=xys_offset,
-            subset_accs=subset_accs)
+            subset_accs=subset_accs,
+            # Camera-pose gradients must flow through the sky sampling
+            # when the camera optimizer is on (ops.cubemap auto mode
+            # otherwise stop-gradients the sampling geometry).
+            sky_dirs_grad=use_cam_opt)
         losses = scene_loss_dict(outputs, batch, config, state.step)
         return sum(losses.values()), (losses, outputs, rout)
 
@@ -256,6 +260,10 @@ def scene_train_step(
         # never drops, sgn_splatfacto.py:860-873).
         "num_pairs": rout.bins.num_pairs,
         "num_rowruns": rout.bins.num_rowruns,
+        # Densest tile (portable-path truncation watch: chunked/scan
+        # impls drop pairs past max_per_tile; the trainer warns when this
+        # exceeds that budget — ops.tiles.TileBins.max_tile_count).
+        "max_tile_count": rout.bins.max_tile_count,
         **losses,
     }
     return SceneTrainState(store=new_store, opt=new_opt,

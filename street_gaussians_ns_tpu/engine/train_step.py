@@ -107,6 +107,10 @@ def train_step(
         "loss": total,
         "psnr": psnr(outputs["rgb"], batch["image"]),
         "gaussian_count": store.num_active,
+        "num_pairs": rout.bins.num_pairs,
+        "num_rowruns": rout.bins.num_rowruns,
+        # Portable-path truncation watch (see scene_train_step).
+        "max_tile_count": rout.bins.max_tile_count,
         **losses,
     }
     new_state = TrainState(store=store, env_map=new_env, opt=new_opt,

@@ -177,6 +177,10 @@ class Trainer:
             interpret=(trainer_config.render_impl == "pallas"
                        and jax.default_backend() != "tpu"))
         self._step_fns = {}
+        # Device-side running max of pair/rowrun counts between the
+        # 10-step capacity checks (see _maybe_grow_pairs).
+        self._pair_max = None
+        self._rowrun_max = None
         self._refine_fn = jax.jit(functools.partial(
             scene_refine_step, config=self.config,
             num_train_data=self.dm.num_train))
@@ -217,8 +221,19 @@ class Trainer:
         capacity-independent (ops.tiles.TileBins.num_pairs/num_rowruns),
         so overflow is detected even in the very step it happens.
         Returns True if capacity grew (step fns invalidated)."""
-        num_pairs = int(metrics.get("num_pairs", 0))
-        num_rowruns = int(metrics.get("num_rowruns", 0))
+        # Sync the device-side RUNNING MAX accumulated since the last
+        # check (not just this step's sample): per-camera pair counts can
+        # spike between the 10-step syncs, and the growth rule must see
+        # the spike even when the sampled step is a cheap camera. A spike
+        # past the 0.9 headroom can still drop pairs for the (< 10) steps
+        # until this check runs — transient by design; growth then
+        # recompiles with the true max.
+        num_pairs = int(self._pair_max) if self._pair_max is not None \
+            else int(metrics.get("num_pairs", 0))
+        num_rowruns = int(self._rowrun_max) if self._rowrun_max is not None \
+            else int(metrics.get("num_rowruns", 0))
+        self._pair_max = None
+        self._rowrun_max = None
         cap = self.render_config.max_pairs
         rcap = self.render_config.max_rowruns or cap // 2
         if num_pairs <= 0.9 * cap and num_rowruns <= 0.9 * rcap:
@@ -269,18 +284,44 @@ class Trainer:
         t_last = time.time()
         for step in range(self.start_step, total):
             metrics = self._run_step(step)
+            # Device-side running max of the capacity-watched counts (no
+            # host sync here — jnp.maximum just queues on the device; the
+            # 10-step check below syncs the max once).
+            if "num_pairs" in metrics:
+                self._pair_max = (metrics["num_pairs"]
+                                  if self._pair_max is None else
+                                  jnp.maximum(self._pair_max,
+                                              metrics["num_pairs"]))
+            if "num_rowruns" in metrics:
+                self._rowrun_max = (metrics["num_rowruns"]
+                                    if self._rowrun_max is None else
+                                    jnp.maximum(self._rowrun_max,
+                                                metrics["num_rowruns"]))
             if (step + 1) % refine_every == 0:
                 max_hw = jnp.float32(max(*self._last_hw))
                 self.state, info = self._refine_fn(self.state, max_hw=max_hw)
                 metrics.update(info)
             if step % 10 == 0:
                 # Capacity check rides the 10-step metric sync (the int()
-                # blocks on the device; pair counts move on the refine
-                # cadence, so 10-step granularity never drops pairs with
-                # the 0.9 headroom rule).
+                # blocks on the device) but sees the RUNNING MAX of every
+                # step since the last check, so per-camera spikes between
+                # syncs cannot slip past the 0.9 headroom rule.
                 self._maybe_grow_pairs(metrics)
                 m = {k: float(v) for k, v in metrics.items()
                      if jnp.ndim(v) == 0}
+                # Portable-path truncation is otherwise silent: the
+                # chunked/scan compositors render at most max_per_tile
+                # splats per tile. The Pallas path never truncates.
+                if (self.render_config.impl in ("chunked", "scan")
+                        and m.get("max_tile_count", 0)
+                        > self.render_config.max_per_tile):
+                    self.writer.log(
+                        "WARNING: densest tile has "
+                        f"{int(m['max_tile_count'])} pairs > max_per_tile="
+                        f"{self.render_config.max_per_tile}; the "
+                        f"'{self.render_config.impl}' compositor is "
+                        "truncating splats — raise "
+                        "RenderConfig.max_per_tile or use impl='pallas'.")
                 dt = time.time() - t_last
                 t_last = time.time()
                 m["steps_per_sec"] = (10 if step else 1) / max(dt, 1e-9)

@@ -212,8 +212,15 @@ def refine(
     toobig_screen = (step < config.stop_screen_size_at) & (
         max2d > config.cull_screen_size)
     culls = culls | (past_first_reset & new_active & (toobig_world | toobig_screen))
-    # split originals die (splits_mask, :613-625)
-    culls = culls | splits
+    # split originals die (splits_mask, :613-625) — but ONLY parents whose
+    # children were actually generated: parents past the CAPP compaction
+    # budget never produced children (they are counted in n_dropped), and
+    # culling them too would make gaussians vanish without replacement even
+    # when free slots exist. Scatter the selected-split mask back over
+    # `sel` (distinct indices by construction) into a (CAP,) mask.
+    splits_generated = jnp.zeros((cap,), jnp.bool_).at[sel].set(
+        splits_sel, unique_indices=True)
+    culls = culls | splits_generated
     # Reference quirk replicated: past stop_split_at, after_train stops
     # refreshing stats so refinement_after early-returns on every call
     # EXCEPT the first refine boundary at/after stop_split_at (whose stats

@@ -298,6 +298,7 @@ def forward_scene(
     xys_offset: Optional[jax.Array] = None,
     eval_extras: bool = False,
     subset_accs: bool = True,
+    sky_dirs_grad: bool = False,
 ):
     """Scene-graph forward (get_outputs, scene_graph:305-374): compose,
     render with sky, plus object-only / background-only accumulations (for
@@ -320,7 +321,8 @@ def forward_scene(
     sky = None
     if store.env_map is not None:
         sky = sky_color(store.env_map, camera,
-                        rng if (training and rng is not None) else None)
+                        rng if (training and rng is not None) else None,
+                        dirs_grad=sky_dirs_grad)
 
     out = render(flat["means"], scales, flat["quats"], opac, rgbs, camera,
                  render_config, sky_rgb=sky, training=training, active=active,

@@ -108,12 +108,15 @@ def sky_color(
     env_map: jax.Array,
     camera: Camera,
     jitter_key: Optional[jax.Array] = None,
+    dirs_grad: bool = False,
 ) -> jax.Array:
     """Per-pixel sky RGB (H, W, 3): jittered world rays -> cubemap lookup
-    (EnvLight.forward, sgn_splatfacto.py:139-150)."""
+    (EnvLight.forward, sgn_splatfacto.py:139-150). dirs_grad=True when
+    camera-pose gradients must flow through the sky sampling (camera
+    optimizer on) — see ops.cubemap.sample_cubemap."""
     dirs = pixel_directions(camera, jitter_key)          # (H, W, 3)
     dirs = dirs @ _TO_OPENGL.T
-    return sample_cubemap(env_map, dirs)
+    return sample_cubemap(env_map, dirs, dirs_grad=dirs_grad)
 
 
 def forward(

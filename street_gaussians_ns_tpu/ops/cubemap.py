@@ -58,7 +58,8 @@ def cube_faces_uv(dirs: jax.Array):
 
 
 def sample_cubemap(cubemap: jax.Array, dirs: jax.Array,
-                   method: str = "auto") -> jax.Array:
+                   method: str = "auto",
+                   dirs_grad: bool = False) -> jax.Array:
     """Bilinear cubemap lookup.
 
     Args:
@@ -70,18 +71,20 @@ def sample_cubemap(cubemap: jax.Array, dirs: jax.Array,
             ~105 ms of a train step); for R <= 128 the one-hot MXU
             formulation below replaces all of it with two matmuls per
             pixel chunk (~10 ms fwd+bwd). "auto" = matmul on TPU when
-            R <= 128, gather otherwise.
+            R <= 128 AND dirs need no gradient, gather otherwise.
+        dirs_grad: callers that need gradients to flow THROUGH the
+            sampling geometry into `dirs` (camera-pose optimization
+            through the sky) must pass True: the matmul path
+            stop-gradients (face, s, t), so "auto" then picks the
+            gather path instead of silently dropping pose gradients.
 
     Returns:
         (..., C) sampled colors, differentiable w.r.t. cubemap (both
-        paths) and dirs (gather path only — the matmul path
-        stop-gradients the sampling geometry; only camera-pose
-        optimization through the sky would need it, and that path can
-        request method="gather").
+        paths) and dirs (gather path only).
     """
     R = cubemap.shape[1]
     if method == "auto":
-        method = ("matmul" if R <= 128
+        method = ("matmul" if R <= 128 and not dirs_grad
                   and jax.default_backend() == "tpu" else "gather")
     if method == "matmul":
         return _sample_cubemap_matmul(cubemap, dirs)

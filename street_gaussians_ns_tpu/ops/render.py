@@ -16,8 +16,10 @@ fused pass:
 
 Static capacities (`max_pairs`, `max_per_tile`) make every shape fixed so
 jit compiles once per camera resolution; callers size them from the scene
-(Gaussian count x typical tiles-per-splat) and can read `num_pairs` /
-`max_tile_count` from the returned aux to grow capacity outside jit.
+(Gaussian count x typical tiles-per-splat) and read `bins.num_pairs` /
+`bins.max_tile_count` off the returned RenderOutputs to grow capacity
+outside jit (the trainer's growth rule and the portable-path truncation
+warning both consume these — engine/trainer.py).
 """
 from __future__ import annotations
 

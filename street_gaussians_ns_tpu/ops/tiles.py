@@ -58,6 +58,18 @@ class TileBins:
     num_tiles_x: int = dataclasses.field(metadata=dict(static=True))
     num_tiles_y: int = dataclasses.field(metadata=dict(static=True))
 
+    @property
+    def max_tile_count(self) -> jax.Array:
+        """() int32: densest tile's pair count (within pair capacity).
+
+        The truncation watch-counter for the PORTABLE compositors: the
+        chunked/scan paths render at most `max_per_tile` splats per tile
+        and silently drop the rest, so callers running those impls must
+        compare this against their `max_per_tile` (the trainer surfaces
+        it as a metric and warns). The Pallas path streams unbounded
+        tile ranges and never truncates."""
+        return jnp.max(self.tile_count)
+
 
 def _owner_by_scatter(starts: jax.Array, capacity: int, n: int) -> jax.Array:
     """slot -> index of the owning run: for runs with exclusive-cumsum
@@ -251,7 +263,16 @@ def bin_and_pack(
         # output block whose source window contains an invisible
         # gaussian (the bug this guards against poisoned the whole
         # gradient at train scale).
-        f_s.append(jnp.where(jnp.isfinite(dk_s), dk_s, 0.0))
+        dcol = jnp.where(jnp.isfinite(dk_s), dk_s, 0.0)
+        if bf16:
+            # The appended depth column rides expand_ragged PAST n_exact,
+            # whose contract requires bf16-exact rows there. The depth KEY
+            # stays f32 (ordering exact); only the threaded color-channel
+            # copy is rounded — explicitly, here, so the quantization is
+            # part of the pipeline's self-consistent bf16 rounding rather
+            # than an implicit artifact of the expansion kernel.
+            dcol = dcol.astype(jnp.bfloat16).astype(jnp.float32)
+        f_s.append(dcol)
     f_s += [jnp.zeros((n,), jnp.float32) for _ in range(4 - nc)]
     f0_s, f1_s, f2_s, f3_s = f_s
     if pack_box:
