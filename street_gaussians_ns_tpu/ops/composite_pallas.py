@@ -720,10 +720,12 @@ def _reduce_pair_grads(gpair: jax.Array, bins: TileBins,
             gpair.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
         packed = ((u[:, 0:2 * np2:2, :] << 16)
                   | u[:, 1:2 * np2:2, :]).astype(jnp.int32)
+        # Unstable: exp_slot is unique on live rows; sentinel ties are
+        # all-zero rows (see below) so their order is irrelevant.
         pcols = jax.lax.sort(
             (bins.exp_slot,) + tuple(packed[:, j, :].reshape(-1)[:max_pairs]
                                      for j in range(np2)),
-            num_keys=1, is_stable=True)[1:]
+            num_keys=1, is_stable=False)[1:]
 
         def unpack(j):
             col = pcols[j // 2]
@@ -738,7 +740,7 @@ def _reduce_pair_grads(gpair: jax.Array, bins: TileBins,
         # Invalid/sentinel rows were never written by the kernel and stay
         # zero, so no validity masking is needed after the permute.
         rows_cm = jnp.stack(jax.lax.sort((bins.exp_slot,) + fcols,
-                                         num_keys=1, is_stable=True)[1:])
+                                         num_keys=1, is_stable=False)[1:])
 
     from .segreduce_pallas import segment_rowsum
 
@@ -1146,40 +1148,55 @@ def composite_tiles_pallas(xys, conics, colors, opacities, bins: TileBins,
         xys.shape[0], interpret)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16))
 def rasterize_pallas_strip_fused_core(xys, conics, colors, opacities,
                                       depth_key, tile_box, tile0f,
+                                      slice0f,
                                       width: int, height: int,
                                       n_tiles: int, max_pairs: int,
                                       max_rowruns, interpret: bool = False,
                                       last_color_is_depth: bool = False,
-                                      precision: str = "f32"):
-    """Strip variant of the FUSED bin+pack+composite: bins the whole scene
-    with the feature columns riding the sorts (no _build_feat row gather —
+                                      precision: str = "f32",
+                                      slice_size=None):
+    """Strip variant of the FUSED bin+pack+composite: bins the scene with
+    the feature columns riding the sorts (no _build_feat row gather —
     ~77 ms at bench scale), then composites only tiles [tile0, tile0 +
     n_tiles). The sharded main pass runs this per model column; the
-    collective transposes sum the per-strip gradients."""
+    collective transposes sum the per-strip gradients.
+
+    slice0f/slice_size: MODEL-SHARDED binning (ops.tiles.bin_and_pack
+    depth_slice) — bin and composite only the depth-contiguous slice of
+    `slice_size` gaussians starting at global depth rank slice0f (traced
+    f32, device-varying under shard_map). Every pair-shaped cost then
+    scales with the caller's per-device max_pairs (~1/M of the scene),
+    and per-slice (accum, 1-T) layers merge EXACTLY in depth order via
+    the associative over-operator (parallel.sharded._combine_layers).
+    Gradients still return full-N (the threaded rank column is global)."""
     out, _ = _strip_fused_fwd(xys, conics, colors, opacities, depth_key,
-                              tile_box, tile0f, width, height, n_tiles,
-                              max_pairs, max_rowruns, interpret,
-                              last_color_is_depth, precision)
+                              tile_box, tile0f, slice0f, width, height,
+                              n_tiles, max_pairs, max_rowruns, interpret,
+                              last_color_is_depth, precision, slice_size)
     return out
 
 
 def _strip_fused_fwd(xys, conics, colors, opacities, depth_key, tile_box,
-                     tile0f, width, height, n_tiles, max_pairs,
+                     tile0f, slice0f, width, height, n_tiles, max_pairs,
                      max_rowruns, interpret, last_color_is_depth,
-                     precision):
+                     precision, slice_size=None):
     from .tiles import bin_and_pack
 
     ntx = (width + TILE - 1) // TILE
     nc = colors.shape[-1]
     tile0 = tile0f.astype(jnp.int32)
+    depth_slice = (None if slice_size is None
+                   else (slice0f.astype(jnp.int32), slice_size))
     bins, feats = bin_and_pack(
         xys, conics, tile_box, depth_key, colors.astype(jnp.float32),
         opacities, width, height, TILE, max_pairs, max_rowruns,
         interpret=interpret, with_gauss_idx=False,
-        last_color_is_depth=last_color_is_depth, precision=precision)
+        last_color_is_depth=last_color_is_depth, precision=precision,
+        depth_slice=depth_slice)
     feat = _pack_feat_cols(feats, max_pairs, interpret=interpret)
     # Pad the per-tile ranges so the LAST model column's strip (whose
     # tile range may extend past the real grid when num_tiles does not
@@ -1203,7 +1220,7 @@ def _strip_fused_fwd(xys, conics, colors, opacities, depth_key, tile_box,
 
 def _strip_fused_bwd(width, height, n_tiles, max_pairs, max_rowruns,
                      interpret, last_color_is_depth, precision,
-                     residuals, cotangents):
+                     slice_size, residuals, cotangents):
     (bins, feat, accum, tfin, ncon, starts, counts, tile0) = residuals
     ntx = (width + TILE - 1) // TILE
     num_gaussians = bins.depth_order.shape[0]
@@ -1231,6 +1248,7 @@ def _strip_fused_bwd(width, height, n_tiles, max_pairs, max_rowruns,
     return (seg[:, 0:2], seg[:, 2:5], seg[:, 6:6 + nc], seg[:, 5],
             jnp.zeros((num_gaussians,), jnp.float32),
             jnp.zeros((num_gaussians, 4), jnp.float32),
+            jnp.zeros((), jnp.float32),
             jnp.zeros((), jnp.float32))
 
 
@@ -1242,18 +1260,25 @@ def composite_tiles_pallas_fused(proj, colors, opacities, tile0,
                                  max_pairs: int, max_rowruns=None,
                                  interpret: bool = False,
                                  last_color_is_depth: bool = False,
-                                 precision: str = "f32"):
+                                 precision: str = "f32",
+                                 slice0=0, slice_size=None):
     """Fused-binning strip compositor for the sharded main pass: same
     contract as composite_tiles_pallas (accum (n_tiles, PIX, C), alpha
     (n_tiles, PIX)) plus the bins, but with the feature stream riding the
-    binning sorts instead of the per-pair row gather."""
+    binning sorts instead of the per-pair row gather.
+
+    slice0/slice_size select a depth-rank slice to bin+composite
+    (model-sharded binning; see rasterize_pallas_strip_fused_core).
+    alpha is then 1 - T_slice, the slice LAYER's opacity — merge layers
+    with parallel.sharded._combine_layers."""
     depth_key = jax.lax.stop_gradient(
         jnp.where(proj.num_tiles_hit > 0, proj.depths, jnp.inf))
     accum, alpha, bins = rasterize_pallas_strip_fused_core(
         proj.xys, proj.conics, colors.astype(jnp.float32), opacities,
         depth_key, proj.tile_box.astype(jnp.float32),
-        jnp.asarray(tile0, jnp.float32), width, height, n_tiles,
-        max_pairs, max_rowruns, interpret, last_color_is_depth, precision)
+        jnp.asarray(tile0, jnp.float32), jnp.asarray(slice0, jnp.float32),
+        width, height, n_tiles, max_pairs, max_rowruns, interpret,
+        last_color_is_depth, precision, slice_size)
     return accum, alpha, bins
 
 

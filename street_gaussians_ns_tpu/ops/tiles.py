@@ -147,6 +147,7 @@ def bin_and_pack(
     with_gauss_idx: bool = True,
     last_color_is_depth: bool = False,
     precision: str = "f32",
+    depth_slice=None,
 ):
     """Fused binning + per-pair feature threading — zero row gathers.
 
@@ -184,6 +185,22 @@ def bin_and_pack(
       * tile_box rides the depth sort packed 4x8-bit in ONE int32 column
         when the tile grid fits (ntx, nty < 256 — images up to ~4080 px;
         falls back to 4 columns otherwise).
+
+    depth_slice=(start, size) — MODEL-SHARDED binning (round 4): bin only
+    the depth-contiguous slice of `size` gaussians beginning at depth RANK
+    `start` (a traced, device-varying scalar under shard_map; `size` is
+    static). The depth sort still runs over the full N (its payload
+    columns are the cheap part — ~3.5 ms replicated at 1M), but
+    everything pair-shaped downstream — row trim, both ragged expansions,
+    the pair sort, the kernel stream, the gradient reduce's rank sort —
+    is sized by the CALLER-PASSED max_rowruns/max_pairs, which the
+    sharded path sets to ~1/M of the full-scene capacity. Because slices
+    partition the global depth-rank order, per-slice (accum, T) layers
+    composite EXACTLY in global depth order via the associative
+    over-operator merge (C, T) |> (C', T') = (C + T*C', T*T') — see
+    parallel.sharded. The threaded rank column carries GLOBAL ranks, so
+    the ranked gradient reduce lands slice gradients into the full-N
+    arrays with the unchanged depth_order un-sort.
 
     precision="bf16" (production TPU mode) rounds the non-geometry
     feature columns (conics, opacity, colors) to bf16 and rides them as
@@ -240,8 +257,13 @@ def bin_and_pack(
         xys[:, 0], xys[:, 1],
         *attr_cols,
     ) + box_cols
-    dk_s, idx_s, *c_s = jax.lax.sort((depth_key,) + cols, num_keys=1,
-                                     is_stable=True)
+    # num_keys=2 UNSTABLE with the (unique) index as tiebreak key: the
+    # order is IDENTICAL to the stable single-key sort, but XLA's stable
+    # lowering appends a hidden iota tiebreak operand — measured ~0.5 ms
+    # at 1M rows / ~3 ms at 3.4M (tools/bench_sort_ops.py, round 4); the
+    # index column rides anyway, so the exactness is free.
+    dk_s, idx_s, *c_s = jax.lax.sort((depth_key,) + cols, num_keys=2,
+                                     is_stable=False)
     x_s, y_s = c_s[:2]
     if bf16:
         ca_s, cb_s = unpack2(c_s[2])
@@ -284,6 +306,30 @@ def bin_and_pack(
     else:
         x0_s, x1_s, y0_s, y1_s = c_s[2 + n_attr:6 + n_attr]
 
+    # Model-sharded slice: keep the FULL depth order (the gradient
+    # reduce's final un-sort needs it), then restrict every per-gaussian
+    # column to the slice's depth-rank window. dynamic_slice (static
+    # size, traced start) — each shard_map device passes its own start.
+    full_order = idx_s
+    if depth_slice is not None:
+        sl_start, sl_size = depth_slice
+        sl_start = jnp.asarray(sl_start, jnp.int32)
+
+        def dsl(a):
+            return jax.lax.dynamic_slice_in_dim(a, sl_start, sl_size)
+
+        (dk_s, idx_s, x_s, y_s, ca_s, cb_s, cc_s, op_s,
+         x0_s, x1_s, y0_s, y1_s) = map(dsl, (
+            dk_s, idx_s, x_s, y_s, ca_s, cb_s, cc_s, op_s,
+            x0_s, x1_s, y0_s, y1_s))
+        f0_s, f1_s, f2_s, f3_s = (dsl(f0_s), dsl(f1_s), dsl(f2_s),
+                                  dsl(f3_s))
+        rank0 = sl_start
+        nloc = sl_size
+    else:
+        rank0 = jnp.int32(0)
+        nloc = n
+
     # Trim each box to its nonzero-width rows + exact per-gaussian pair
     # count (gather-free; also guarantees counts >= 1 per enumerated row,
     # the expansion kernel's window invariant).
@@ -308,9 +354,12 @@ def bin_and_pack(
     # Row 2 carries the per-pair identity the caller needs downstream:
     # the ORIGINAL index when gauss_idx is requested, else the DEPTH RANK
     # (the gradient reduce sums per rank and un-sorts once at the end —
-    # exact in f32 far beyond any gaussian count).
+    # exact in f32 far beyond any gaussian count). Under depth_slice the
+    # rank is GLOBAL (rank0 offset), so slice gradients land in the
+    # full-N rank arrays.
     ident = (idx_s if with_gauss_idx
-             else jnp.arange(n, dtype=jnp.int32)).astype(jnp.float32)
+             else rank0 + jnp.arange(nloc, dtype=jnp.int32)
+             ).astype(jnp.float32)
 
     # Expansion column layout: the EXACT-f32 prefix first (screen xy and
     # the big ints: rank, run starts, tile ids), then columns that are
@@ -335,7 +384,7 @@ def bin_and_pack(
     rstart = r[3].astype(jnp.int32)
     ty = r[6].astype(jnp.int32) + (rr - rstart)
     rbox = jnp.stack([r[4], r[5], r[6], r[7]], -1).astype(jnp.int32)
-    rvalid = rr < jnp.minimum(cum_r[-1] if n > 0 else jnp.int32(0),
+    rvalid = rr < jnp.minimum(cum_r[-1] if nloc > 0 else jnp.int32(0),
                               max_rowruns)
     # Zero-filled (uncovered) slots have y1b == 0 => in_row False => wr 0.
     x0r, x1r = row_tile_range(
@@ -346,7 +395,7 @@ def bin_and_pack(
     # Level 2: runs -> pairs.
     cum2 = cumsum_flat(wr, interpret=interpret)
     starts2 = cum2 - wr
-    total = cum2[-1] if n > 0 else jnp.int32(0)
+    total = cum2[-1] if nloc > 0 else jnp.int32(0)
     src14 = jnp.concatenate([
         r[0:3],                                       # x, y, ident
         (ty * ntx + x0r).astype(jnp.float32)[None],   # first tile of row
@@ -379,24 +428,34 @@ def bin_and_pack(
     # slots) — and skips the slot + gauss-index payloads entirely (the
     # rank-keyed gradient reduce needs neither; each payload is
     # ~0.6 ms/M pairs).
+    # All pair sorts run num_keys=2 UNSTABLE with a per-pair-unique (or
+    # dead-slot-only-tied) second key: identical order to the stable
+    # single-key sort, minus XLA's hidden stability-iota operand (~3 ms
+    # at bench scale — tools/bench_sort_ops.py round 4). Dead slots tie
+    # on (num_tiles, sentinel) and may permute among themselves; their
+    # lanes are masked by the kernels' count test, so content order there
+    # is irrelevant.
     pcols = [p[0], p[1], p[6], p[7], p[8], p[9], p[10], p[11], p[12],
              p[13]]          # [x, y, ca, cb, cc, op, f0..f3]
     if with_gauss_idx:
         (tile_sorted, slot_sorted, g_sorted, *feats) = jax.lax.sort(
             (tile_id, slot, g) + tuple(pcols),
-            num_keys=1, is_stable=True)
+            num_keys=2, is_stable=False)
     elif bf16:
         # Production diet: xy f32, the 8 attribute columns as 4 bf16
         # pairs, the depth rank f32 (exact ints) — 8 operands instead of
         # 12 (~10 ms at bench scale; values were already bf16-rounded at
-        # the depth sort, so this re-pack is lossless).
+        # the depth sort, so this re-pack is lossless). The rank rides as
+        # the SECOND KEY: within-tile depth order guaranteed without
+        # stability, and it comes back as a sorted column all the same.
         from .packing import pack2, unpack2
 
         rank_col = jnp.where(valid, p[2], jnp.float32(n))
-        (tile_sorted, fx, fy, q0, q1, q2, q3, rank_s) = jax.lax.sort(
-            (tile_id, p[0], p[1], pack2(p[6], p[7]), pack2(p[8], p[9]),
-             pack2(p[10], p[11]), pack2(p[12], p[13]), rank_col),
-            num_keys=1, is_stable=True)
+        (tile_sorted, rank_s, fx, fy, q0, q1, q2, q3) = jax.lax.sort(
+            (tile_id, rank_col, p[0], p[1], pack2(p[6], p[7]),
+             pack2(p[8], p[9]), pack2(p[10], p[11]),
+             pack2(p[12], p[13])),
+            num_keys=2, is_stable=False)
         u0 = unpack2(q0)
         u1 = unpack2(q1)
         u2 = unpack2(q2)
@@ -407,9 +466,10 @@ def bin_and_pack(
         g_sorted = jnp.zeros_like(tile_sorted)
     else:
         rank_col = jnp.where(valid, p[2], jnp.float32(n))
-        (tile_sorted, *feats) = jax.lax.sort(
-            (tile_id,) + tuple(pcols) + (rank_col,),
-            num_keys=1, is_stable=True)
+        (tile_sorted, rank_s, *feats) = jax.lax.sort(
+            (tile_id, rank_col) + tuple(pcols),
+            num_keys=2, is_stable=False)
+        feats = list(feats) + [rank_s]
         slot_sorted = jnp.zeros_like(tile_sorted)
         g_sorted = jnp.zeros_like(tile_sorted)
     pair_valid = tile_sorted < num_tiles
@@ -429,9 +489,11 @@ def bin_and_pack(
         tile_start=tile_start,
         tile_count=tile_end - tile_start,
         num_pairs=true_pairs,
-        num_rowruns=cum_r[-1] if n > 0 else jnp.int32(0),
+        num_rowruns=cum_r[-1] if nloc > 0 else jnp.int32(0),
         exp_slot=jnp.where(pair_valid, slot_sorted, max_pairs),
-        depth_order=idx_s,
+        # FULL depth order even under depth_slice: the ranked gradient
+        # reduce un-sorts full-N rank sums with it.
+        depth_order=full_order,
         exp_starts=exp_starts,
         exp_counts=count_g,
         num_tiles_x=ntx,
@@ -470,9 +532,10 @@ def bin_gaussians(
     visible = proj.num_tiles_hit > 0
     depth_key = jnp.where(visible, proj.depths, jnp.inf)
     # Depth-sort the GAUSSIANS (small sort); pair expansion then yields
-    # pairs depth-ordered within every tile for free.
+    # pairs depth-ordered within every tile for free. 2-key unstable ==
+    # stable 1-key order (unique index tiebreak; see bin_and_pack).
     _, order = jax.lax.sort((depth_key, jnp.arange(n, dtype=jnp.int32)),
-                            num_keys=1, is_stable=True)
+                            num_keys=2, is_stable=False)
 
     # One (N, 11) f32 row gather brings every per-gaussian quantity into
     # depth order (ints are exact in f32 far beyond these ranges).
@@ -540,13 +603,13 @@ def bin_gaussians(
                                                 max_rowruns - 1)], 0)
     exp_starts = cumsum_flat(count_g) - count_g
 
-    # Single-key stable sort: preserves depth order within each tile. The
-    # payloads are the expansion slot (which doubles as the sort
-    # permutation for the backward) and the gaussian index — carrying g
-    # through the sort is ~2x cheaper than recovering it with a per-pair
-    # gather afterwards.
+    # (tile, slot) 2-key unstable sort: the unique slot tiebreak
+    # reproduces the stable order (depth order within each tile) without
+    # XLA's hidden stability operand. The slot doubles as the sort
+    # permutation for the backward; carrying g through the sort is ~2x
+    # cheaper than recovering it with a per-pair gather afterwards.
     tile_sorted, slot_sorted, gauss_sorted = jax.lax.sort(
-        (tile_id, slot, g), num_keys=1, is_stable=True)
+        (tile_id, slot, g), num_keys=2, is_stable=False)
     pair_valid = tile_sorted < num_tiles
 
     # One searchsorted for both bounds (see bin_and_pack): right boundary

@@ -10,11 +10,17 @@ New TPU-native capability (the reference is single-GPU, SURVEY.md §2.4):
   * 'model' — background Gaussian capacity is sharded across columns:
     projection + SH run on the local shard, the compact projected
     attributes (xy, depth, conic, radius, rgb, opacity — ~16 floats vs the
-    ~59-float raw parameterization) are all-gathered for binning, and each
-    column composites only its strip of image tiles; strips are gathered
-    to assemble the frame. The backward retraces the same collectives
-    (all_gather <-> psum_scatter), so per-shard parameter gradients arrive
-    already reduced — no hand-written backward communication.
+    ~59-float raw parameterization) are all-gathered, and (round 4) the
+    global DEPTH-RANK order is partitioned into model_size contiguous
+    slices: each column BINS ONLY ITS SLICE (per-device pair capacity =
+    render_config.max_pairs ~ 1/M of the scene — binning is no longer
+    replicated) and composites a full-tile-grid (accum, T) layer; layers
+    merge exactly in depth order with the associative over operator
+    (_combine_layers — the shard-stream merge compositor). The backward
+    retraces the same collectives (all_gather <-> psum_scatter), so
+    per-shard parameter gradients arrive already reduced — no
+    hand-written backward communication. The chunked (portable) impl
+    keeps the round-3 tile-strip scheme.
 
   Object gaussians (small: O * CAP_o) stay replicated and are composed per
   data row at the row's camera time — full scene-graph semantics
@@ -58,6 +64,43 @@ def _pad_to(x, n, axis=0, fill=0):
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, pad)
     return jnp.pad(x, widths, constant_values=fill)
+
+
+def _combine_layers(accum, alpha, axis_name="model"):
+    """Merge per-slice (premultiplied accum, layer alpha) ACROSS the
+    model axis with the associative over operator — THE merge compositor
+    for model-sharded binning.
+
+    Each model column composites a depth-CONTIGUOUS slice of the global
+    depth-rank order into a full-tile-grid layer: accum_m = sum over the
+    slice's pairs of c*a*T_within-slice, T_m = 1 - alpha_m. Because
+    slices partition the rank order, sequential front-to-back compositing
+    factorizes exactly:  (C, T) |> (C', T') = (C + T*C', T*T'), applied
+    in slice order. (The only semantic deviation from the single-device
+    kernel is the T_EPS = 1e-4 early-termination cut, which each slice
+    applies to its LOCAL transmittance — pairs a global cut would have
+    hard-zeroed contribute their analytic weight <= 1e-4 instead; bounded
+    by T_EPS per channel, far below bf16 feature rounding.)
+
+    Autodiff through the python loop + all_gather gives the backward: the
+    all_gather transposes to a psum_scatter handing each slice its layer
+    cotangent, weighted by the prefix/suffix transmittance products.
+    Returns (accum_total (T,PIX,C), alpha_total (T,PIX))."""
+    la = jax.lax.all_gather(accum, axis_name, axis=0)       # (M, T, PIX, C)
+    lt = jax.lax.all_gather(1.0 - alpha, axis_name, axis=0)  # (M, T, PIX)
+    m = la.shape[0]
+    out = jnp.zeros_like(la[0])
+    t = jnp.ones_like(lt[0])
+    for k in range(m):
+        out = out + t[..., None] * la[k]
+        t = t * lt[k]
+    return out, 1.0 - t
+
+
+def _combine_alpha(alpha, axis_name="model"):
+    """Alpha-only layer merge: 1 - prod_m (1 - alpha_m) (order-free)."""
+    lt = jax.lax.all_gather(1.0 - alpha, axis_name, axis=0)
+    return 1.0 - jnp.prod(lt, axis=0)
 
 
 def sharded_scene_loss(
@@ -175,84 +218,105 @@ def sharded_scene_loss(
 
         colors4 = jnp.concatenate([rgbs, pr.depths[:, None]], axis=-1)
 
-        # --- composite MY tile strip ---------------------------------------
+        # --- composite ------------------------------------------------------
         m_idx = jax.lax.axis_index("model")
         my_tiles = m_idx * tl + jnp.arange(tl, dtype=jnp.int32)
 
         use_pallas = render_config.impl == "pallas" and ts == 16
 
-        # MAIN pass: fused bin+pack+composite — the feature stream rides
-        # the binning sorts (no per-pair _build_feat row gather, ~77 ms at
-        # bench scale). This is the whole step for the hot phase
-        # (subset_accs=False before stop_split_at).
+        # Pallas path (round 4): MODEL-SHARDED BINNING. The depth-rank
+        # order is partitioned into model_size contiguous slices; each
+        # column bins ONLY its slice (row trim, ragged expansions, pair
+        # sort, kernel stream, gradient-reduce rank sort are all sized by
+        # the PER-DEVICE render_config.max_pairs ~ 1/M of the scene —
+        # this removes the replicated-binning Amdahl cap of rounds 2-3)
+        # and composites a full-tile-grid (accum, T) LAYER; layers merge
+        # exactly in depth order via the associative over operator
+        # (_combine_layers). Only the (N,)-shaped depth-key sort + the
+        # final (N,) gradient un-sort stay replicated (~5 ms at 1M — see
+        # README "scaling model").
         bins = None
         if use_pallas:
             from ..ops.composite_pallas import composite_tiles_pallas_fused
-            accum_s, alpha_s, bins_main = composite_tiles_pallas_fused(
-                pr, colors4, opac, m_idx * tl, tl, width, height,
-                render_config.max_pairs, render_config.max_rowruns,
-                interpret=render_config.interpret,
-                last_color_is_depth=True,
-                precision=render_config.precision)
+            n_pad = -(-n_total // model_size) * model_size
+            slice_size = n_pad // model_size
+
+            def padn(x):
+                return _pad_to(x, n_pad, axis=0)
+
+            # Pad rows have num_tiles_hit == 0 -> depth key +inf -> they
+            # sort to the tail and emit no pairs.
+            pr_pad = jax.tree.map(padn, pr)
+            colors4_pad = padn(colors4)
+            opac_pad = padn(opac)
+            seg_obj_pad = padn(seg_obj)
+            slice0 = m_idx * slice_size
+
+            def layer(opac_in, colors_in):
+                return composite_tiles_pallas_fused(
+                    pr_pad, colors_in, opac_in, 0, num_tiles, width,
+                    height, render_config.max_pairs,
+                    render_config.max_rowruns,
+                    interpret=render_config.interpret,
+                    last_color_is_depth=True,
+                    precision=render_config.precision,
+                    slice0=slice0, slice_size=slice_size)
+
+            accum_l, alpha_l, bins_main = layer(opac_pad, colors4_pad)
+            accum_t, alpha_t = _combine_layers(accum_l, alpha_l)
+            if subset_accs:
+                # Alpha-only subset layers: zeroed opacities emit no
+                # pairs (opacity-aware coverage), colors are ignored.
+                _, a_obj_l, _ = layer(
+                    jnp.where(seg_obj_pad, opac_pad, 0.0), colors4_pad)
+                _, a_bg_l, _ = layer(
+                    jnp.where(seg_obj_pad, 0.0, opac_pad), colors4_pad)
+                alpha_obj = _combine_alpha(a_obj_l)
+                alpha_bg = _combine_alpha(a_bg_l)
+            else:
+                alpha_obj = jnp.zeros_like(alpha_t)
+                alpha_bg = jnp.zeros_like(alpha_t)
         else:
             bins = bin_gaussians(pr, width, height, ts,
                                  render_config.max_pairs,
                                  render_config.max_rowruns, opacities=opac)
             bins_main = bins
 
-        def strip(opac_in, colors_in):
-            nonlocal bins
-            if bins is None:
-                # Acc passes need shared per-tile ranges; built once (the
-                # fused main pass binned internally).
-                bins = bin_gaussians(pr, width, height, ts,
-                                     render_config.max_pairs,
-                                     render_config.max_rowruns,
-                                     opacities=opac)
-            # Pad tiles carry start = end-of-pairs, NOT 0: the Pallas
-            # backward's final-tile flush writes the boundary-row carry
-            # to start // K, and a zero pad in a mixed real+pad strip
-            # would dump the last real tile's carry onto row 0 (see
-            # composite_pallas._strip_fused_fwd).
-            end = bins.tile_start[-1] + bins.tile_count[-1]
-            bins_pad = dataclasses.replace(
-                bins,
-                tile_start=jnp.concatenate([
-                    bins.tile_start,
-                    jnp.full((tiles_pad - num_tiles,), 1, jnp.int32) * end]),
-                tile_count=_pad_to(bins.tile_count, tiles_pad))
-            if use_pallas:
-                # Production kernels inside shard_map: contiguous strip =
-                # [m_idx*tl, (m_idx+1)*tl), no per-tile cap, no truncation
-                # (composite_chunked silently drops splats past
-                # max_per_tile — wrong at Waymo scale).
-                from ..ops.composite_pallas import composite_tiles_pallas
-                return composite_tiles_pallas(
-                    pr.xys, pr.conics, colors_in, opac_in, bins_pad,
-                    m_idx * tl, tl, interpret=render_config.interpret)
-            accum, alpha = composite_tiles(
-                pr.xys, pr.conics, colors_in, opac_in, bins_pad, my_tiles,
-                ts, render_config.max_per_tile, render_config.chunk)
-            return accum, alpha
-
         if not use_pallas:
+            # Portable (chunked) fallback keeps the round-3 TILE-STRIP
+            # scheme: replicated binning, each column composites its
+            # contiguous strip of tiles, strips all_gather into the frame.
+            def strip(opac_in, colors_in):
+                end = bins.tile_start[-1] + bins.tile_count[-1]
+                bins_pad = dataclasses.replace(
+                    bins,
+                    tile_start=jnp.concatenate([
+                        bins.tile_start,
+                        jnp.full((tiles_pad - num_tiles,), 1,
+                                 jnp.int32) * end]),
+                    tile_count=_pad_to(bins.tile_count, tiles_pad))
+                return composite_tiles(
+                    pr.xys, pr.conics, colors_in, opac_in, bins_pad,
+                    my_tiles, ts, render_config.max_per_tile,
+                    render_config.chunk)
+
             accum_s, alpha_s = strip(opac, colors4)
 
-        def gather_tiles(x):
-            return jax.lax.all_gather(x, "model", axis=0,
-                                      tiled=True)[:num_tiles]
+            def gather_tiles(x):
+                return jax.lax.all_gather(x, "model", axis=0,
+                                          tiled=True)[:num_tiles]
 
-        accum_t = gather_tiles(accum_s)
-        alpha_t = gather_tiles(alpha_s)
-        if subset_accs:
-            ones1 = jnp.ones((n_total, 1), jnp.float32)
-            _, alpha_obj_s = strip(jnp.where(seg_obj, opac, 0.0), ones1)
-            _, alpha_bg_s = strip(jnp.where(seg_obj, 0.0, opac), ones1)
-            alpha_obj = gather_tiles(alpha_obj_s)
-            alpha_bg = gather_tiles(alpha_bg_s)
-        else:
-            alpha_obj = jnp.zeros_like(alpha_t)
-            alpha_bg = jnp.zeros_like(alpha_t)
+            accum_t = gather_tiles(accum_s)
+            alpha_t = gather_tiles(alpha_s)
+            if subset_accs:
+                ones1 = jnp.ones((n_total, 1), jnp.float32)
+                _, alpha_obj_s = strip(jnp.where(seg_obj, opac, 0.0), ones1)
+                _, alpha_bg_s = strip(jnp.where(seg_obj, 0.0, opac), ones1)
+                alpha_obj = gather_tiles(alpha_obj_s)
+                alpha_bg = gather_tiles(alpha_bg_s)
+            else:
+                alpha_obj = jnp.zeros_like(alpha_t)
+                alpha_bg = jnp.zeros_like(alpha_t)
 
         img4 = tiles_to_image(accum_t, ntx, nty, ts, width, height)
         alpha = tiles_to_image(alpha_t, ntx, nty, ts, width, height)[..., None]
@@ -279,19 +343,23 @@ def sharded_scene_loss(
             jnp.mean((outputs["rgb"] - batch["image"]) ** 2), 1e-12))
         aux = {
             "psnr": jax.lax.pmean(psnr_local, "data"),
-            # True pair count (max over data rows): the host's pair-
-            # capacity growth rule needs it — the sharded path must never
-            # silently truncate at max_pairs any more than the single-
-            # device one (gsplat never drops pairs, sgn_splatfacto.py:
-            # 860-873). Identical across model columns (binning is
-            # replicated), pmax'd across data.
+            # True PER-DEVICE pair count, maxed over BOTH mesh axes: with
+            # model-sharded binning each column sees only its slice's
+            # pairs, and render_config.max_pairs is the PER-DEVICE
+            # capacity the host growth rule guards (the sharded path must
+            # never silently truncate any more than the single-device one
+            # — gsplat never drops pairs, sgn_splatfacto.py:860-873).
+            # Slices are equal in RANK but not in pairs (near slices hit
+            # more tiles), so the max is what capacity must cover.
             # stop_gradient: bins_main is an output of the fused strip's
             # custom_vjp, so its leaves are nominally differentiable and
             # pmax has no differentiation rule.
             "num_pairs": jax.lax.pmax(
-                jax.lax.stop_gradient(bins_main.num_pairs), "data"),
+                jax.lax.stop_gradient(bins_main.num_pairs),
+                ("data", "model")),
             "num_rowruns": jax.lax.pmax(
-                jax.lax.stop_gradient(bins_main.num_rowruns), "data"),
+                jax.lax.stop_gradient(bins_main.num_rowruns),
+                ("data", "model")),
             # radii per gaussian for densification stats: bg local shard is
             # returned sharded; radii were computed pre-gather.
             "bg_radii": pr_bg.radii[None],

@@ -18,10 +18,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
-# Persistent compilation cache: the suite is compile-dominated (interpret-
-# mode Pallas + many jit variants); caching compiled executables on disk
-# cuts repeat runs from ~10 min to ~2 min, which is what makes running the
-# tests before every commit viable.
+# Persistent compilation cache: first runs are compile-dominated
+# (interpret-mode Pallas + many jit variants); caching compiled
+# executables on disk plus the xdist -n 4 default (pyproject addopts)
+# brings the warm default suite to ~2.5 min wall (serial warm: ~8.5 min,
+# measured round 4) — what makes running tests before every commit
+# viable.
 _cache = os.environ.get("SGNT_JAX_CACHE",
                         os.path.expanduser("~/.cache/sgnt_jax_cache"))
 os.makedirs(_cache, exist_ok=True)

@@ -99,9 +99,14 @@ RCFG_PALLAS = RenderConfig(max_pairs=16384, impl="pallas", interpret=True)
 
 @pytest.mark.slow
 def test_sharded_pallas_strip_matches_single_pallas():
-    """The PRODUCTION path: Pallas tile-strip compositing inside shard_map
-    on a (4, 2) mesh must reproduce the single-device Pallas step (same
-    kernels, strips vs whole image)."""
+    """The PRODUCTION path (round 4: MODEL-SHARDED BINNING): each model
+    column bins only its depth-rank slice and composites a full-grid
+    layer; layers merge with the associative over operator. The (1, 8)
+    mesh must reproduce the single-device Pallas step. (Association and
+    the per-slice T_EPS cut differ from the sequential kernel at ~1e-6 —
+    within the 1e-5 tolerances here; if a future scene puts near-zero
+    gradients on the Adam sign boundary, loosen the PARAM tolerance, not
+    the loss one.)"""
     mesh = make_mesh(data=1, model=8)
     cfg = dataclasses.replace(CFG, base=dataclasses.replace(
         CFG.base, use_sky_sphere=False))
@@ -166,12 +171,54 @@ def test_sharded_surfaces_num_pairs_and_overflow_visible():
 
 
 @pytest.mark.slow
+def test_model_sharded_binning_scales_per_device_pairs():
+    """Round-4 'Done' criterion: with model-sharded binning the
+    PER-DEVICE pair workload (and therefore every pair-shaped buffer:
+    expansions, pair sort, kernel stream, gradient reduce) scales ~1/M.
+    The metric's num_pairs is the pmax over per-slice counts — it must
+    be a small fraction of the whole scene's count, and a per-device
+    capacity ~1/4 of the single-device one must run WITHOUT overflow
+    while still matching the reference loss."""
+    mesh = make_mesh(data=1, model=8)
+    cfg = dataclasses.replace(CFG, base=dataclasses.replace(
+        CFG.base, use_sky_sphere=False))
+    store = dataclasses.replace(make_store(), env_map=None)
+    tracks = make_tracks()
+    state = init_scene_train_state(store, jax.random.PRNGKey(0))
+    cam = make_cameras(1)[0]
+    batch = {"image": jnp.full((H, W, 3), 0.4)}
+
+    s_ref, m_ref = jax.jit(
+        lambda s: scene_train_step(s, tracks, cam, batch, cfg,
+                                   RCFG_PALLAS))(state)
+    full_pairs = int(m_ref["num_pairs"])
+
+    # Per-device capacity 1/4 of the single-device config: on the old
+    # replicated-binning scheme this would overflow (num_pairs > cap).
+    small = dataclasses.replace(RCFG_PALLAS, max_pairs=4096,
+                                max_rowruns=4096)
+    step = make_sharded_train_step(mesh, cfg, small, W, H,
+                                   cap_bg=store.background.capacity)
+    with jax.set_mesh(mesh):
+        s_sh, m_sh = step(state, tracks, stack_cameras([cam]),
+                          stack_batches([batch], H, W))
+    per_slice_max = int(m_sh["num_pairs"])
+    assert per_slice_max > 0
+    # Equal-rank slices are not equal-pair; allow 3x imbalance headroom
+    # over the ideal full/8.
+    assert per_slice_max <= min(3 * full_pairs // 8, 4096), (
+        per_slice_max, full_pairs)
+    np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+
+
+@pytest.mark.slow
 def test_sharded_pallas_mixed_pad_strip_matches_single():
-    """Regression: when num_tiles does not divide the model axis, the
-    boundary strip contains real tiles followed by PAD tiles. Pad tiles
-    must carry start = end-of-pairs — a zero-padded start made the Pallas
-    backward flush the last real tile's boundary-row gradient carry onto
-    row 0 (corrupting pair-0 gradients and losing the boundary row)."""
+    """Regression: non-divisible geometry. Originally guarded the mixed
+    real+pad TILE strip backward; under round-4 model-sharded binning it
+    exercises the GAUSSIAN-axis pad instead (n_total = cap_bg + objects
+    does not divide the model axis -> padded depth slices whose +inf
+    depth rows must emit no pairs), plus the small 10-tile grid."""
     W2, H2 = 80, 32          # ntx=5, nty=2 -> 10 tiles; model=4 -> tl=3
     mesh = make_mesh(data=1, model=4)
     cfg = dataclasses.replace(CFG, base=dataclasses.replace(
