@@ -134,24 +134,44 @@ def main():
             (c["wall_s"] for c in curve if c["psnr"] >= 33.0), None)
         if len(bt) > 2:
             fcurve = bt[2]["detail"]["curve"]
-            detail["fullres_psnr_1200_steps"] = bt[2]["value"]
-            detail["fullres_secs_to_psnr33"] = next(
-                (c["wall_s"] for c in fcurve if c["psnr"] >= 33.0), None)
+            detail["heldout_psnr_final"] = bt[2]["value"]
+            detail["heldout_secs_to_psnr33"] = bt[2]["detail"].get(
+                "secs_to_heldout_psnr33")
+            detail["heldout_protocol"] = bt[2]["detail"].get("protocol")
     except Exception:
         pass
     detail["roofline"] = (
-        "step anatomy (trace, ms): pair-sort 20 + grad-reduce 16 + "
-        "bwd-kernel 22 + fwd-kernel 13 + expansions 11 + row-trim 5 + "
-        "depth-sort 3.5 + project 1. The ~43 ms of sort/permute is the "
-        "measured TPU movement floor: lax.sort = 2.3 ms/operand @3.4M "
-        "(the best general mover XLA has), XLA unique-scatter 15.8 "
-        "ms/column and row-gather 77 ms are WORSE, a Pallas radix "
-        "scatter bottoms out at >=25k fragment DMAs/pass, and a sort-"
-        "free mixed-tile compositor does 1.4-1.6x the kernel work "
-        "(group-level early termination) - measurements and rejected "
-        "designs in README 'Performance status (round 3)' + "
-        "tools/bench_scatter.py, tools/probe_mixed.py, "
+        "step anatomy (trace, ms, round 4): pair-sort 16.2 (was 20: all "
+        "binning sorts now 2-key UNSTABLE with a unique tiebreak key - "
+        "XLA's stable lowering costs a hidden iota operand, ~5.5 ms at "
+        "3.4M) + grad-reduce ~17 (denser compaction-cap ladder; was "
+        "silently full-size at 28) + bwd-kernel 22 + fwd-kernel 13 + "
+        "expansions 11 + row-trim 5 + depth-sort 4.4 + project 1. "
+        "lax.sort is SUPERLINEAR in rows (~P^1.64: P/2 -> 0.43x, P/4 -> "
+        "0.18x, tools/bench_sort_ops.py) - which is also why per-slice "
+        "model-sharded binning beats 1/M. Rejected movers (measured): "
+        "XLA unique-scatter 15.8 ms/column, row-gather 77 ms, Pallas "
+        "radix scatter >=25k fragment DMAs/pass, sort-free mixed-tile "
+        "compositor 1.4-1.6x kernel work, int64-packed payloads no "
+        "cheaper than 2x int32, batched row-sorts cheap but re-merging "
+        "their streams re-pays the cost - tools/bench_scatter.py, "
+        "tools/bench_sort_ops.py, tools/probe_mixed.py, "
         "tools/bench_tile_overhead.py.")
+    detail["scaling"] = {
+        "model_axis_comm_MB_per_step": {
+            "attrs_all_gather": 64, "layer_all_gather_per_peer": 33.8,
+            "formula": "2*64*(M-1)/M + 2*33.8*(M-1) over ICI "
+                       "~50 GB/s/direction"},
+        "data_axis_comm_MB_per_step": {
+            "grad_psum": "2*236/M (59 f32/gaussian, model-sharded)"},
+        "projected_step_ms_model_axis": {"M=2": 98, "M=4": 64, "M=8": 50},
+        "projected_2host_dp_efficiency": "~93% (236 MB over DCN 25 GB/s "
+                                         "= 9.4 ms vs 125 ms step)",
+        "notes": "replicated terms (full-N depth sort 4.4 + grad unsort "
+                 "~3 + rank_rowsum ~2 + SSIM ~10; the sky sampler is "
+                 "now row-BANDED across model) cap the model axis at "
+                 "~2.5x at M=8 until SSIM is tile-sharded; arithmetic "
+                 "in README 'Scaling model (round 4)'."}
     print(json.dumps({
         "metric": "rasterize_fwd_bwd_mpix_per_s",
         "value": round(mpix_s, 2),

@@ -249,7 +249,10 @@ def bench_time_to_psnr_fullres(quick=False):
         return None
     n_seed, cap, w, h = 100_000, 1_048_576, 1600, 1056
     cfg = scene_cfg()
-    rcfg = RenderConfig(max_pairs=1 << 22, max_rowruns=1 << 21,
+    # Start at the 100k-seed scale; the growth rule below doubles the
+    # capacities as densification multiplies the pair count (~5x over
+    # the run) — early steps stay superlinearly cheap.
+    rcfg = RenderConfig(max_pairs=1 << 21, max_rowruns=1 << 20,
                         impl="pallas", precision="bf16")
 
     def cam_at(dx, dz, yaw=0.0):
@@ -264,9 +267,20 @@ def bench_time_to_psnr_fullres(quick=False):
     heldout_cam = cam_at(0.25, -0.5, -0.01)
 
     # Ground truth: 2M splats, denser + more opaque than the training
-    # capacity can trivially copy.
+    # capacity can trivially copy. Colors are SPATIALLY COHERENT (a
+    # smooth random position palette + 30% per-splat texture noise)
+    # rather than i.i.d. noise — real scenes have structure, and the
+    # SfM-like seeds below inherit the OBSERVED colors exactly as COLMAP
+    # points3D carry image RGB (random-color seeds get mass-culled by
+    # the alpha schedule before densification can work — measured:
+    # 100k -> 9.4k by step 800).
     gt_means, gt_scales, gt_quats, gt_opac, gt_rgbs = make_scene(
         2_000_000, seed=11)
+    kp, key0 = jax.random.split(jax.random.PRNGKey(17))
+    wpal = jax.random.normal(kp, (3, 3)) * 0.35
+    smooth = jax.nn.sigmoid(gt_means @ wpal.T
+                            + jnp.asarray([0.2, -0.1, 0.3]))
+    gt_rgbs = jnp.clip(0.7 * smooth + 0.3 * gt_rgbs, 0.0, 1.0)
     gt_rcfg = dataclasses.replace(rcfg, max_pairs=1 << 23,
                                   max_rowruns=1 << 22)
 
@@ -291,15 +305,19 @@ def bench_time_to_psnr_fullres(quick=False):
     heldout_target = rgt(heldout_cam)
     jax.block_until_ready(heldout_target)
 
-    # SfM-like sparse seeds: subsampled GT positions + 10 cm jitter,
-    # random colors, opacity logit(0.1) (models.gaussians init
-    # convention) — NOT the GT attributes.
+    # SfM-like sparse seeds: subsampled GT positions + 10 cm jitter and
+    # the OBSERVED colors with sensor-ish noise (COLMAP points3D carry
+    # image RGB); opacity logit(0.1), kNN scales (models.gaussians init
+    # convention). Scales/rotations/opacity are NOT the GT attributes —
+    # densification and optimization must recover them.
     kj, kc, key = jax.random.split(key, 3)
     idx = jnp.arange(0, 2_000_000, 2_000_000 // n_seed)[:n_seed]
     seed_means = gt_means[idx] + 0.1 * jax.random.normal(kj, (n_seed, 3))
     from street_gaussians_ns_tpu.models.gaussians import init_gaussians
 
-    seed_colors = np.asarray(jax.random.uniform(kc, (n_seed, 3))) * 255.0
+    seed_colors = np.asarray(jnp.clip(
+        gt_rgbs[idx] + 0.05 * jax.random.normal(kc, (n_seed, 3)),
+        0.0, 1.0)) * 255.0
     bg = init_gaussians(cap, np.asarray(seed_means), seed_colors,
                         sh_degree=1, fourier_dim=1,
                         rng=jax.random.PRNGKey(5))
@@ -308,20 +326,24 @@ def bench_time_to_psnr_fullres(quick=False):
     store = init_scene_graph_store(bg, obj, tracks, cfg)
     state = init_scene_train_state(store, jax.random.PRNGKey(0))
 
-    step = jax.jit(functools.partial(
-        scene_train_step, config=cfg, render_config=rcfg,
-        subset_accs=False))
-    refine = jax.jit(functools.partial(
-        scene_refine_step, config=cfg, num_train_data=len(train_cams)))
+    def build_fns(rc):
+        step = jax.jit(functools.partial(
+            scene_train_step, config=cfg, render_config=rc,
+            subset_accs=False))
+        refine = jax.jit(functools.partial(
+            scene_refine_step, config=cfg,
+            num_train_data=len(train_cams)))
 
-    def heldout_psnr(store):
-        out, _, _ = forward_scene(store, tracks, heldout_cam,
-                                  jnp.int32(100000), cfg, rcfg,
-                                  training=False)
-        mse = jnp.mean((out["rgb"] - heldout_target) ** 2)
-        return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+        def heldout_psnr(store):
+            out, _, _ = forward_scene(store, tracks, heldout_cam,
+                                      jnp.int32(100000), cfg, rc,
+                                      training=False)
+            mse = jnp.mean((out["rgb"] - heldout_target) ** 2)
+            return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
 
-    heval = jax.jit(heldout_psnr)
+        return step, refine, jax.jit(heldout_psnr)
+
+    step, refine, heval = build_fns(rcfg)
 
     # Compile warmup, then fresh state.
     state, m = step(state, tracks, train_cams[0], batches[0])
@@ -340,12 +362,35 @@ def bench_time_to_psnr_fullres(quick=False):
     curve = []
     secs_to_33 = None
     max_pairs_seen = 0
+    growths = []
     t0 = time.perf_counter()
     for i in range(total):
         cidx = i % len(train_cams)
         state, m = step(state, tracks, train_cams[cidx], batches[cidx])
         if (i + 1) % refine_every == 0:
             state, _ = refine(state, max_hw=jnp.float32(max(w, h)))
+            # The trainer's pair-capacity growth rule (densification
+            # grows the pair count ~5x over this run): recompile with
+            # doubled capacities when the true count nears the static
+            # one. Compile time counts against the wall clock — exactly
+            # as a real training run pays it.
+            np_seen = int(m["num_pairs"])
+            nr_seen = int(m["num_rowruns"])
+            max_pairs_seen = max(max_pairs_seen, np_seen)
+            cap_p, cap_r = rcfg.max_pairs, rcfg.max_rowruns
+            grew = False
+            while np_seen > 0.85 * cap_p:
+                cap_p *= 2
+                grew = True
+            while nr_seen > 0.85 * cap_r:
+                cap_r *= 2
+                grew = True
+            if grew:
+                rcfg = dataclasses.replace(rcfg, max_pairs=cap_p,
+                                           max_rowruns=cap_r)
+                step, refine, heval = build_fns(rcfg)
+                growths.append({"step": i + 1, "max_pairs": cap_p,
+                                "max_rowruns": cap_r})
         if (i + 1) % (100 if quick else 200) == 0:
             hp = float(heval(state.store))
             wall = time.perf_counter() - t0
@@ -357,8 +402,8 @@ def bench_time_to_psnr_fullres(quick=False):
                 "wall_s": round(wall, 2)})
             if secs_to_33 is None and hp >= 33.0:
                 secs_to_33 = round(wall, 2)
-    assert max_pairs_seen <= 0.95 * rcfg.max_pairs, (
-        f"pair capacity nearly overflowed: {max_pairs_seen}")
+    assert max_pairs_seen <= rcfg.max_pairs, (
+        f"pair capacity overflowed: {max_pairs_seen}")
     row = {
         "metric": "heldout_psnr_curve",
         "value": curve[-1]["heldout_psnr"] if curve else float("nan"),
@@ -366,9 +411,11 @@ def bench_time_to_psnr_fullres(quick=False):
         "detail": {
             "curve": curve, "steps": total, "resolution": [w, h],
             "protocol": "5 noisy train views (gain+sigma0.01), 1 clean "
-                        "held-out view, 100k SfM-like seeds, 2M-splat "
-                        "GT, full refine schedule",
+                        "held-out view, 100k SfM-like seeds (observed "
+                        "colors, jittered positions), 2M-splat GT with "
+                        "coherent colors, full refine schedule",
             "seed_gaussians": n_seed,
+            "capacity_growths": growths,
             "secs_to_heldout_psnr33": secs_to_33,
             "max_pairs_seen": max_pairs_seen,
             "backend": jax.default_backend()},
@@ -379,11 +426,15 @@ def bench_time_to_psnr_fullres(quick=False):
 
 def main():
     quick = "--quick" in sys.argv
-    rows = [bench_train_step(quick), bench_time_to_psnr(quick)]
-    full = bench_time_to_psnr_fullres(quick)
-    if full is not None:
-        rows.append(full)
-    json.dump(rows, open("bench_train.json", "w"), indent=2)
+    rows = []
+    for fn in (bench_train_step, bench_time_to_psnr,
+               bench_time_to_psnr_fullres):
+        row = fn(quick)
+        if row is not None:
+            rows.append(row)
+        # Incremental: a crash in a later section must not lose the
+        # earlier sections' results.
+        json.dump(rows, open("bench_train.json", "w"), indent=2)
     print("wrote bench_train.json", flush=True)
 
 

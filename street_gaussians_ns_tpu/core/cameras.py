@@ -95,19 +95,35 @@ def viewmat_from_c2w(c2w: jax.Array) -> jax.Array:
     return viewmat
 
 
-def pixel_directions(camera: Camera, jitter_key: Optional[jax.Array] = None) -> jax.Array:
-    """Per-pixel world ray directions (H, W, 3), normalized.
+def pixel_directions(camera: Camera, jitter_key: Optional[jax.Array] = None,
+                     row0=0, rows: Optional[int] = None) -> jax.Array:
+    """Per-pixel world ray directions (rows, W, 3), normalized.
 
     Matches EnvLight.get_world_directions (sgn_splatfacto.py:118-137):
     dirs_cam = ((u - cx + du)/fx, (v - cy + dv)/fy, 1), normalized, then
     rotated by c2w R. At train time du,dv ~ U[0,1) (anti-alias jitter);
     at eval du=dv=0.5 (pixel centers).
+
+    row0/rows select a horizontal band of pixel rows (static `rows`,
+    possibly traced `row0`) — the model-sharded sky path computes each
+    column's band and all_gathers (parallel.sharded). The jitter draw is
+    generated for the FULL frame and sliced, so a banded render composes
+    to exactly the full-frame render for the same key.
     """
     H, W = camera.height, camera.width
-    u = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, axis=0)
-    v = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, axis=1)
+    if rows is None:
+        rows = H
+    row0 = jnp.asarray(row0, jnp.int32)
+    u = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(rows, axis=0)
+    v = (jnp.arange(rows, dtype=jnp.float32)
+         + row0.astype(jnp.float32))[:, None].repeat(W, axis=1)
     if jitter_key is not None:
         du = jax.random.uniform(jitter_key, (2, H, W), jnp.float32)
+        if rows != H:
+            # Zero-pad so the last (grid-padding) band slices cleanly —
+            # its rows land past H and are cropped by the caller.
+            du = jnp.pad(du, ((0, 0), (0, rows), (0, 0)))
+            du = jax.lax.dynamic_slice(du, (0, row0, 0), (2, rows, W))
         u = u + du[0]
         v = v + du[1]
     else:

@@ -109,12 +109,16 @@ def sky_color(
     camera: Camera,
     jitter_key: Optional[jax.Array] = None,
     dirs_grad: bool = False,
+    row0=0,
+    rows: Optional[int] = None,
 ) -> jax.Array:
-    """Per-pixel sky RGB (H, W, 3): jittered world rays -> cubemap lookup
-    (EnvLight.forward, sgn_splatfacto.py:139-150). dirs_grad=True when
-    camera-pose gradients must flow through the sky sampling (camera
-    optimizer on) — see ops.cubemap.sample_cubemap."""
-    dirs = pixel_directions(camera, jitter_key)          # (H, W, 3)
+    """Per-pixel sky RGB (rows, W, 3): jittered world rays -> cubemap
+    lookup (EnvLight.forward, sgn_splatfacto.py:139-150). dirs_grad=True
+    when camera-pose gradients must flow through the sky sampling (camera
+    optimizer on) — see ops.cubemap.sample_cubemap. row0/rows select a
+    pixel-row band (model-sharded sky: each column samples its band and
+    the bands all_gather — parallel.sharded)."""
+    dirs = pixel_directions(camera, jitter_key, row0=row0, rows=rows)
     dirs = dirs @ _TO_OPENGL.T
     return sample_cubemap(env_map, dirs, dirs_grad=dirs_grad)
 

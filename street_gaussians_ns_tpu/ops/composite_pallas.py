@@ -220,151 +220,178 @@ def _load_chunk(buf, slot, phi):
 
 def _fwd_kernel(ntx_ref, starts_ref, counts_ref, feat_hbm,
                 out_ref, ring, buf, state, sem_r,
-                sem, *, nc: int):
+                sem, *, nc: int, gtiles: int = 1):
     """state: VMEM (PIX, 8) scratch — columns [T, done, ncon, pad...].
     Loop state lives in scratch refs (the while carry holds only scalars):
     Mosaic cannot unify the vreg layouts of narrow (PIX, 1) vectors carried
     through scf.while, but ref load/store round-trips are layout-free.
 
+    MULTI-TILE grid steps (round 4): each grid step processes `gtiles`
+    consecutive tiles (an unrolled python loop — the per-tile body is
+    unchanged), amortizing the Mosaic per-grid-step overhead (~0.5 us per
+    EMPTY tile measured by tools/bench_tile_overhead.py — grid
+    bookkeeping + output-block pipelining, ~3.3 ms of the bench step per
+    kernel at 6600 tiles). Callers pad the tile arrays to a multiple of
+    gtiles with the end-of-pairs pad convention.
+
     Cross-tile ring prefetch: most tiles terminate within their first
     chunk (median n_contrib ~114 pairs at bench scale), so the per-tile
     pipeline never gets deep enough to hide the first chunk's DMA latency
     — the dominant stall is the drain at every tile boundary. Chunk 0 of
-    tile t+3 is therefore DMA'd into a 4-slot ring while tiles t..t+2
-    compute (the grid is sequential on a TPU core, so the ring is safe
-    scratch); chunks >= 1 use the classic in-tile double buffer."""
-    t = pl.program_id(0)
-    nt = pl.num_programs(0)
+    each of the NEXT grid step's tiles is DMA'd into a 2*gtiles-slot ring
+    while this step's tiles compute (the grid is sequential on a TPU
+    core, so the ring is safe scratch); chunks >= 1 use the classic
+    in-tile deep buffer."""
+    step = pl.program_id(0)
+    nt = pl.num_programs(0) * gtiles
+    nring = 2 * gtiles if gtiles > 1 else 4
     ntx = ntx_ref[0]
-    start = starts_ref[t]
-    count = counts_ref[t]
-    row0 = start // K
-    phi = start % K
-    n_chunks = pl.cdiv(count, K)
-    # ntx_ref[1] = global tile id of grid step 0 (a strip offset when a
-    # model shard composites only its contiguous tile range; 0 otherwise).
-    pxy, txy = _pixel_coords(t + ntx_ref[1], ntx)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
 
     def ring_dma(u):
         r0 = starts_ref[u] // K
         return pltpu.make_async_copy(
-            feat_hbm.at[pl.ds(r0, 2)], ring.at[u % 4], sem_r.at[u % 4])
+            feat_hbm.at[pl.ds(r0, 2)], ring.at[u % nring],
+            sem_r.at[u % nring])
 
-    def dma(slot, c):
-        return pltpu.make_async_copy(
-            feat_hbm.at[pl.ds(row0 + c, 2)], buf.at[slot], sem.at[slot])
-
-    @pl.when(t == 0)
+    # Prefetch: at step 0 start this step's AND the next step's chunk-0s;
+    # afterwards each step starts the NEXT step's (ring slots are
+    # double-buffered per position).
+    @pl.when(step == 0)
     def _():
-        for u in range(3):
+        # gtiles == 1 keeps the round-3 protocol: tiles 0..2 here, t+3
+        # per step (tile 3 comes from step 0's second loop below).
+        for g in range(3 if gtiles == 1 else gtiles):
+            @pl.when((g < nt) & (counts_ref[g] > 0))
+            def _():
+                ring_dma(g).start()
+
+    if gtiles == 1:
+        @pl.when((step + 3 < nt) & (counts_ref[step + 3] > 0))
+        def _():
+            ring_dma(step + 3).start()
+    else:
+        for g in range(gtiles):
+            u = step * gtiles + gtiles + g
+
             @pl.when((u < nt) & (counts_ref[u] > 0))
             def _():
                 ring_dma(u).start()
 
-    @pl.when((t + 3 < nt) & (counts_ref[t + 3] > 0))
-    def _():
-        ring_dma(t + 3).start()
+    for g in range(gtiles):
+        t = step * gtiles + g
+        start = starts_ref[t]
+        count = counts_ref[t]
+        row0 = start // K
+        phi = start % K
+        n_chunks = pl.cdiv(count, K)
+        # ntx_ref[1] = global tile id of grid step 0 (a strip offset when
+        # a model shard composites a contiguous tile range; 0 otherwise).
+        pxy, txy = _pixel_coords(t + ntx_ref[1], ntx)
 
-    # Deep in-tile prefetch: chunks 1..3 issue while chunk 0 (from the
-    # cross-tile ring) computes — a chunk's 16 KB DMA is ~free to
-    # transfer but ~1 us of latency, the dominant per-chunk overhead at
-    # the median ~1-4 chunks/tile (tools/bench_tile_overhead.py). 4 slots
-    # (slot = c % 4): chunk c+4 reuses c's slot and is started at
-    # iteration c+1, after c's wait at iteration c.
-    for c0 in range(1, 4):
-        @pl.when(c0 < n_chunks)
-        def _():
-            dma(c0 % 4, c0).start()
+        def dma(slot, c):
+            return pltpu.make_async_copy(
+                feat_hbm.at[pl.ds(row0 + c, 2)], buf.at[slot],
+                sem.at[slot])
 
-    kcol = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+        # Deep in-tile prefetch: chunks 1..3 issue while chunk 0 (from
+        # the cross-tile ring) computes — a chunk's DMA is ~free to
+        # transfer but ~1 us of latency, the dominant per-chunk overhead
+        # at the median ~1-4 chunks/tile (tools/bench_tile_overhead.py).
+        # 4 slots (slot = c % 4): chunk c+4 reuses c's slot and is
+        # started at iteration c+1, after c's wait at iteration c.
+        for c0 in range(1, 4):
+            @pl.when(c0 < n_chunks)
+            def _():
+                dma(c0 % 4, c0).start()
 
-    # One fused (nc+2, PIX) output block per tile: rows 0..nc-1 = accum,
-    # nc = final transmittance, nc+1 = n_contrib (exact small ints in
-    # f32). A single out_spec means ONE pipelined output DMA per grid
-    # step instead of three — at 6600 tiles the per-tile floor is ~0.5 us
-    # (tools/bench_tile_overhead.py), and output issue is part of it.
-    out_ref[0, 0:nc] = jnp.zeros((nc, PIX), jnp.float32)
-    state[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)    # T
-    state[:, 1:2] = jnp.zeros((PIX, 1), jnp.float32)   # done
-    state[:, 2:3] = jnp.zeros((PIX, 1), jnp.float32)   # n_contrib
+        # One fused (nc+2, PIX) output block per tile: rows 0..nc-1 =
+        # accum, nc = final transmittance, nc+1 = n_contrib (exact small
+        # ints in f32). A single out_spec means ONE pipelined output DMA
+        # per grid step.
+        out_ref[g, 0:nc] = jnp.zeros((nc, PIX), jnp.float32)
+        state[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)    # T
+        state[:, 1:2] = jnp.zeros((PIX, 1), jnp.float32)   # done
+        state[:, 2:3] = jnp.zeros((PIX, 1), jnp.float32)   # n_contrib
 
-    def cond(carry):
-        c, all_done = carry
-        return (c < n_chunks) & jnp.logical_not(all_done)
+        def cond(carry):
+            c, all_done = carry
+            return (c < n_chunks) & jnp.logical_not(all_done)
 
-    def body(carry):
-        c, _ = carry
-        slot = c % 4
+        def body(carry):
+            c, _ = carry
+            slot = c % 4
 
-        @pl.when((c + 3 < n_chunks) & (c > 0))
-        def _():
-            dma((c + 3) % 4, c + 3).start()
+            @pl.when((c + 3 < n_chunks) & (c > 0))
+            def _():
+                dma((c + 3) % 4, c + 3).start()
 
-        @pl.when(c == 0)
-        def _():
-            ring_dma(t).wait()
+            @pl.when(c == 0)
+            def _():
+                ring_dma(t).wait()
 
-        @pl.when(c > 0)
-        def _():
-            dma(slot, c).wait()
+            @pl.when(c > 0)
+            def _():
+                dma(slot, c).wait()
 
-        # Chunk 0 lives in the ring slot, later chunks in the deep
-        # buffer; both loads are cheap VMEM reads and the select keeps the
-        # loop body branch-free.
-        frow = jnp.where(c == 0, _load_chunk(ring, t % 4, phi),
-                         _load_chunk(buf, slot, phi))          # (NFEAT, K)
-        T = state[:, 0:1]
-        done = state[:, 1:2] > 0.5
-        alpha, skip, _ = _chunk_alpha(frow, pxy, txy)
-        # Tail lanes past the tile's count belong to the NEXT tile.
-        skip = skip | ((kcol + c * K) >= count)
-        contributes, a_c, T_before, T_out, done_out = _composite_chunk_masks(
-            T, done, alpha, skip)
-        w = a_c * T_before                                    # (PIX, K)
-        colors = frow[6:6 + nc, :]                            # (C, K)
-        # Channel-row accumulation (C, PIX): HBM-crossing arrays keep PIX
-        # (= 2 full lanes) as the minor dim, which Mosaic's DMA requires.
-        out_ref[0, 0:nc] += jax.lax.dot_general(
-            colors, w, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (C, PIX)
-        pair_no = (kcol + c * K + 1).astype(jnp.float32)
-        ncon = jnp.maximum(
-            state[:, 2:3],
-            jnp.max(jnp.where(contributes, pair_no, 0.0), axis=1,
-                    keepdims=True))
-        state[:, 0:1] = T_out
-        state[:, 1:2] = done_out.astype(jnp.float32)
-        state[:, 2:3] = ncon
-        return c + 1, jnp.all(done_out)
+            # Chunk 0 lives in the ring slot, later chunks in the deep
+            # buffer; both loads are cheap VMEM reads and the select
+            # keeps the loop body branch-free.
+            frow = jnp.where(c == 0, _load_chunk(ring, t % nring, phi),
+                             _load_chunk(buf, slot, phi))    # (NFEAT, K)
+            T = state[:, 0:1]
+            done = state[:, 1:2] > 0.5
+            alpha, skip, _ = _chunk_alpha(frow, pxy, txy)
+            # Tail lanes past the tile's count belong to the NEXT tile.
+            skip = skip | ((kcol + c * K) >= count)
+            contributes, a_c, T_before, T_out, done_out = \
+                _composite_chunk_masks(T, done, alpha, skip)
+            w = a_c * T_before                                # (PIX, K)
+            colors = frow[6:6 + nc, :]                        # (C, K)
+            # Channel-row accumulation (C, PIX): HBM-crossing arrays
+            # keep PIX (= 2 full lanes) as the minor dim, which Mosaic's
+            # DMA requires.
+            out_ref[g, 0:nc] += jax.lax.dot_general(
+                colors, w, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (C, PIX)
+            pair_no = (kcol + c * K + 1).astype(jnp.float32)
+            ncon = jnp.maximum(
+                state[:, 2:3],
+                jnp.max(jnp.where(contributes, pair_no, 0.0), axis=1,
+                        keepdims=True))
+            state[:, 0:1] = T_out
+            state[:, 1:2] = done_out.astype(jnp.float32)
+            state[:, 2:3] = ncon
+            return c + 1, jnp.all(done_out)
 
-    c_end, _ = jax.lax.while_loop(cond, body,
-                                  (jnp.int32(0), jnp.bool_(False)))
+        c_end, _ = jax.lax.while_loop(cond, body,
+                                      (jnp.int32(0), jnp.bool_(False)))
 
-    # Early exit leaves up to 3 prefetched chunk DMAs in flight; drain
-    # them or their completion signals corrupt the next tile's semaphore
-    # protocol. c_end == 0 can only happen when n_chunks == 0 (chunk 0
-    # always runs), so in-flight chunks here are always buffer ones; the
-    # ring slot was consumed by chunk 0's wait.
-    # Started chunks = {1..3} U {c+3 for executed c >= 1}; waited =
-    # {1..c_end-1}: the in-flight set is [max(c_end,1), max(3, c_end+2)]
-    # clipped to < n_chunks — at most 3 chunks.
-    drain_lo = jnp.maximum(c_end, 1)
-    drain_hi = jnp.minimum(jnp.maximum(3, c_end + 2), n_chunks - 1)
-    for d in range(3):
-        @pl.when(drain_lo + d <= drain_hi)
-        def _():
-            dma((drain_lo + d) % 4, drain_lo + d).wait()
+        # Early exit leaves up to 3 prefetched chunk DMAs in flight;
+        # drain them or their completion signals corrupt the next tile's
+        # semaphore protocol. c_end == 0 can only happen when
+        # n_chunks == 0 (chunk 0 always runs), so in-flight chunks here
+        # are always buffer ones; the ring slot was consumed by chunk
+        # 0's wait. Started chunks = {1..3} U {c+3 for executed c >= 1};
+        # waited = {1..c_end-1}: the in-flight set is
+        # [max(c_end,1), max(3, c_end+2)] clipped to < n_chunks.
+        drain_lo = jnp.maximum(c_end, 1)
+        drain_hi = jnp.minimum(jnp.maximum(3, c_end + 2), n_chunks - 1)
+        for d in range(3):
+            @pl.when(drain_lo + d <= drain_hi)
+            def _():
+                dma((drain_lo + d) % 4, drain_lo + d).wait()
 
-    # (PIX, 1) -> (1, PIX): once per tile, outside the chunk loop.
-    out_ref[0, nc:nc + 1] = state[:, 0:1].T
-    out_ref[0, nc + 1:nc + 2] = state[:, 2:3].T
+        # (PIX, 1) -> (1, PIX): once per tile, outside the chunk loop.
+        out_ref[g, nc:nc + 1] = state[:, 0:1].T
+        out_ref[g, nc + 1:nc + 2] = state[:, 2:3].T
 
 
 def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
                 feat_hbm, gaux_hbm, gpair_init_hbm,
                 gpair_hbm, ring, buf, gbuf, pend, ga_s, state,
                 sem_r, ga_sem, sem, gsem, *, nc: int,
-                with_rank: bool = False):
+                with_rank: bool = False, gtiles: int = 1):
     """Forward-replay backward. Per-tile inputs (DMA'd to VMEM), both in
     channel-row form so PIX stays the lane-aligned minor dim:
     g_accum (C, PIX) cotangent of premultiplied accum; aux (4, PIX) packs
@@ -381,42 +408,39 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
     IS this tile's last). The write-side mirror of _load_chunk — no
     aligned re-pack of the gradient stream ever exists in HBM, so the
     downstream reduction needs no aligned-position indirection."""
-    t = pl.program_id(0)
-    nt = pl.num_programs(0)
+    step = pl.program_id(0)
+    nt = pl.num_programs(0) * gtiles
+    nring = 2 * gtiles if gtiles > 1 else 4
     ntx = ntx_ref[0]
-    start = starts_ref[t]
-    count = counts_ref[t]
-    row0 = start // K
-    phi = start % K
-    r_end = (start + count) // K
-    n_chunks = nbwd_ref[t]
-    pxy, txy = _pixel_coords(t + ntx_ref[1], ntx)   # strip offset, see fwd
     lane = jax.lax.broadcasted_iota(jnp.int32, (NFEAT, K), 1)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    ones_p = jnp.ones((PIX, 1), jnp.float32)
+    # Inclusive lane-cumsum as one (PIX,K)x(K,K) MXU contraction with an
+    # upper-triangular ones matrix, run at the bf16 rate via exact term
+    # stacking.
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+           <= jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+           ).astype(jnp.bfloat16)
 
-    @pl.when(t == 0)
+    @pl.when(step == 0)
     def _():
         pend[:, :] = jnp.zeros((NFEAT, K), jnp.float32)
 
-    def dma_in(slot, c):
-        return pltpu.make_async_copy(
-            feat_hbm.at[pl.ds(row0 + c, 2)], buf.at[slot], sem.at[slot])
-
-    # Cross-tile ring prefetch (see _fwd_kernel): chunk 0 of tile t+3 and
-    # tile t+3's per-tile IO (cotangents + aux) stream in while tiles
-    # t..t+2 compute, hiding the DMA latency the shallow per-tile chunk
-    # pipeline (most tiles replay a single chunk) cannot.
+    # Cross-tile ring prefetch (see _fwd_kernel): chunk 0 and the per-
+    # tile IO block (cotangents + aux) of the NEXT grid step's tiles
+    # stream in while this step's tiles compute.
     def ring_dma(u):
         r0 = starts_ref[u] // K
         return pltpu.make_async_copy(
-            feat_hbm.at[pl.ds(r0, 2)], ring.at[u % 4], sem_r.at[u % 4])
+            feat_hbm.at[pl.ds(r0, 2)], ring.at[u % nring],
+            sem_r.at[u % nring])
 
     # Per-tile IO rides ONE fused (nc+4, PIX) block: rows 0..nc-1 the
     # accum cotangent, then [g_t, T_final, n_contrib, gdotacc] — one DMA
-    # + one semaphore per tile instead of two (per-tile fixed costs are
-    # ~0.5 us/tile of the kernel, tools/bench_tile_overhead.py).
+    # + one semaphore per tile instead of two.
     def ga_dma(u):
-        return pltpu.make_async_copy(gaux_hbm.at[u], ga_s.at[u % 4],
-                                     ga_sem.at[u % 4])
+        return pltpu.make_async_copy(gaux_hbm.at[u], ga_s.at[u % nring],
+                                     ga_sem.at[u % nring])
 
     def prefetch(u):
         ga_dma(u).start()
@@ -425,16 +449,50 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
         def _():
             ring_dma(u).start()
 
-    @pl.when(t == 0)
+    @pl.when(step == 0)
     def _():
-        for u in range(3):
+        for g in range(3 if gtiles == 1 else gtiles):
+            @pl.when(g < nt)
+            def _():
+                prefetch(g)
+
+    if gtiles == 1:
+        @pl.when(step + 3 < nt)
+        def _():
+            prefetch(step + 3)
+    else:
+        for g in range(gtiles):
+            u = step * gtiles + gtiles + g
+
             @pl.when(u < nt)
             def _():
                 prefetch(u)
 
-    @pl.when(t + 3 < nt)
-    def _():
-        prefetch(t + 3)
+    for g in range(gtiles):
+        _bwd_tile(step * gtiles + g, nt, nring, ntx_ref, starts_ref,
+                  counts_ref, nbwd_ref, feat_hbm, gpair_hbm, ring, buf,
+                  gbuf, pend, ga_s, state, sem_r, ga_sem, sem, gsem,
+                  ga_dma, ring_dma, lane, kcol, ones_p, tri, ntx,
+                  nc=nc, with_rank=with_rank)
+
+
+def _bwd_tile(t, nt, nring, ntx_ref, starts_ref, counts_ref, nbwd_ref,
+              feat_hbm, gpair_hbm, ring, buf, gbuf, pend, ga_s, state,
+              sem_r, ga_sem, sem, gsem, ga_dma, ring_dma, lane, kcol,
+              ones_p, tri, ntx, *, nc: int, with_rank: bool):
+    """One tile's backward replay (the round-3 kernel body, factored so
+    _bwd_kernel can unroll `gtiles` of these per grid step)."""
+    start = starts_ref[t]
+    count = counts_ref[t]
+    row0 = start // K
+    phi = start % K
+    r_end = (start + count) // K
+    n_chunks = nbwd_ref[t]
+    pxy, txy = _pixel_coords(t + ntx_ref[1], ntx)   # strip offset, see fwd
+
+    def dma_in(slot, c):
+        return pltpu.make_async_copy(
+            feat_hbm.at[pl.ds(row0 + c, 2)], buf.at[slot], sem.at[slot])
 
     # Deep in-tile prefetch (see _fwd_kernel): chunks 1..3 issue before
     # the chunk loop; 4 input slots, slot = c % 4.
@@ -444,21 +502,12 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
             dma_in(c0 % 4, c0).start()
 
     ga_dma(t).wait()
-    g_accum_r = ga_s[t % 4, 0:nc, :]                          # (C, PIX)
-    aux = ga_s[t % 4, nc:nc + 4, :].T                         # (PIX, 4)
+    g_accum_r = ga_s[t % nring, 0:nc, :]                      # (C, PIX)
+    aux = ga_s[t % nring, nc:nc + 4, :].T                     # (PIX, 4)
     gT = aux[:, 0:1]
     tfin = aux[:, 1:2]
     ncon = aux[:, 2:3]
     gdotacc = aux[:, 3:4]
-
-    kcol = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-    ones_p = jnp.ones((PIX, 1), jnp.float32)
-    # Inclusive lane-cumsum as one (PIX,K)x(K,K) MXU contraction with an
-    # upper-triangular ones matrix (7 roll+add rounds on the VPU -> 1 MXU
-    # op), run at the bf16 rate via exact term stacking.
-    tri = (jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
-           <= jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
-           ).astype(jnp.bfloat16)
 
     # Loop state in scratch (see _fwd_kernel): [T, done, prefix_u].
     state[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
@@ -497,7 +546,7 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
         T = state[:, 0:1]
         done = state[:, 1:2] > 0.5
         prefix_u = state[:, 2:3]
-        frow = jnp.where(c == 0, _load_chunk(ring, t % 4, phi),
+        frow = jnp.where(c == 0, _load_chunk(ring, t % nring, phi),
                          _load_chunk(buf, slot, phi))
         alpha, skip, sigma = _chunk_alpha(frow, pxy, txy)
         skip = skip | ((kcol + c * K) >= count)
@@ -639,8 +688,9 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
         cp.wait()
         pend[:, :] = jnp.zeros((NFEAT, K), jnp.float32)
 
-    # Last tile: flush the boundary-row carry (row num_pairs // K).
-    @pl.when(t == pl.num_programs(0) - 1)
+    # Last tile overall (incl. grid pads, whose end-of-pairs pad starts
+    # make r_end the true boundary row): flush the boundary-row carry.
+    @pl.when(t == nt - 1)
     def _():
         gbuf[1] = pend[:, :]
         cp = pltpu.make_async_copy(gbuf.at[1], gpair_hbm.at[r_end],
@@ -789,12 +839,19 @@ def _reduce_pair_grads_ranked(gpair: jax.Array, starts: jax.Array,
 
     nrows = gpair.shape[0]
     ng = 10
-    # Two compaction levels: the rank sort dominates the reduce, so
-    # sorting 1/3 of the rows instead of 1/2 when the live set allows
-    # (typical at bench scale: ~33% live) is a direct win; the 1/2 level
-    # and the full fallback keep correctness for denser scenes.
-    cap_small = max(256, (nrows // 3 + 7) // 8 * 8)
-    cap = max(256, (nrows // 2 + 7) // 8 * 8)
+    # Compaction-cap LADDER: the rank sort dominates the reduce and
+    # lax.sort is superlinear in rows (~P^1.64, tools/bench_sort_ops.py),
+    # so sorting the tightest level the live set fits is a direct win.
+    # Round-4 fix: the live interval per tile includes its boundary row,
+    # so n_live ~ visited rows + ~one row per tile (~58% of rows at bench
+    # scale) — the old {1/3, 1/2} ladder silently fell through to the
+    # FULL fallback there (28 ms instead of ~17). The denser ladder keeps
+    # a level within reach of any live fraction.
+    caps = []
+    for num, den in ((1, 4), (3, 8), (1, 2), (5, 8), (3, 4)):
+        c = max(256, (nrows * num // den + 7) // 8 * 8)
+        if c < nrows and (not caps or c > caps[-1]):
+            caps.append(c)
     row0 = jnp.where(nbwd > 0, starts // K, nrows)
     row1 = jnp.where(nbwd > 0, jnp.minimum(row0 + nbwd + 1, nrows), nrows)
     last_flush = jnp.minimum(num_pairs // K, nrows - 1)
@@ -852,23 +909,18 @@ def _reduce_pair_grads_ranked(gpair: jax.Array, starts: jax.Array,
         rows11 = jnp.stack(rows_cm + [rank_s.astype(jnp.float32)])
         return rank_rowsum(rows11, rank_s, num_gaussians, interpret)
 
-    if cap < nrows:
-        def mid(gp):
-            return jax.lax.cond(
-                n_live <= cap,
-                lambda g: reduce_rows(g[order[:cap]]),
-                lambda g: reduce_rows(g),
-                gp)
+    def level(i):
+        """Nested conds over the cap ladder; the final else is the
+        full-size (no-compaction) fallback."""
+        if i == len(caps):
+            return lambda g: reduce_rows(g)
+        c = caps[i]
+        return lambda g: jax.lax.cond(
+            n_live <= c,
+            lambda gg: reduce_rows(gg[order[:c]]),
+            level(i + 1), g)
 
-        if cap_small < cap:
-            rank_sums = jax.lax.cond(
-                n_live <= cap_small,
-                lambda gp: reduce_rows(gp[order[:cap_small]]),
-                mid, gpair)
-        else:
-            rank_sums = mid(gpair)
-    else:
-        rank_sums = reduce_rows(gpair)
+    rank_sums = level(0)(gpair)
     # rank -> original order; depth_order is a permutation (unique keys):
     # stability irrelevant. On TPU the 10 per-gaussian sum columns ride
     # as 5 bf16 pairs (same policy as GRAD_PACK_BF16 — per-pair values
@@ -893,54 +945,87 @@ def _reduce_pair_grads_ranked(gpair: jax.Array, starts: jax.Array,
     return jnp.stack(out[1:], axis=-1)
 
 
+GT_FWD = 4      # tiles per forward grid step (amortizes the ~0.5 us/tile
+#                 Mosaic per-step floor; tools/bench_tile_overhead.py)
+
+
 def _fwd_call(feat, starts, counts, ntx, num_tiles: int, nc: int,
-              interpret: bool = False, tile0=0):
-    kernel = functools.partial(_fwd_kernel, nc=nc)
+              interpret: bool = False, tile0=0, gtiles: int = GT_FWD):
+    # Pad the tile arrays to a multiple of gtiles (end-of-pairs pad
+    # starts — the uniform pad convention; fwd ignores pad starts since
+    # count 0 skips all DMAs/writes except the sliced-away output rows).
+    tp = -(-num_tiles // gtiles) * gtiles
+    if tp != num_tiles:
+        end = starts[-1] + counts[-1]
+        starts = jnp.concatenate([
+            starts, jnp.full((tp - num_tiles,), 1, jnp.int32) * end])
+        counts = jnp.pad(counts, (0, tp - num_tiles))
+    nring = 2 * gtiles if gtiles > 1 else 4
+    kernel = functools.partial(_fwd_kernel, nc=nc, gtiles=gtiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(num_tiles,),
+        grid=(tp // gtiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, nc + 2, PIX), lambda t, *_: (t, 0, 0),
+        out_specs=pl.BlockSpec((gtiles, nc + 2, PIX),
+                               lambda s, *_: (s, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((4, 2, NFEAT, K), jnp.float32),   # chunk-0 ring
-            pltpu.VMEM((4, 2, NFEAT, K), jnp.float32),   # deep buffer
+            pltpu.VMEM((nring, 2, NFEAT, K), jnp.float32),  # chunk-0 ring
+            pltpu.VMEM((4, 2, NFEAT, K), jnp.float32),      # deep buffer
             pltpu.VMEM((PIX, 8), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((nring,)),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, nc + 2, PIX),
+        out_shape=jax.ShapeDtypeStruct((tp, nc + 2, PIX),
                                        jnp.float32),
         interpret=interpret,
     )(jnp.stack([jnp.asarray(ntx, jnp.int32),
                  jnp.asarray(tile0, jnp.int32)]), starts, counts, feat)
+    out = out[:num_tiles]
     # (T, C, PIX) -> (T, PIX, C) outside the kernel (free in XLA).
     return (out[:, 0:nc].transpose(0, 2, 1), out[:, nc],
             out[:, nc + 1].astype(jnp.int32))
 
 
+GT_BWD = 4      # tiles per backward grid step (see GT_FWD)
+
+
 def _bwd_call(feat, starts, counts, nbwd, gpair_rows: int, ntx,
               num_tiles: int, nc: int, gaux,
-              interpret: bool = False, with_rank: bool = False, tile0=0):
-    kernel = functools.partial(_bwd_kernel, nc=nc, with_rank=with_rank)
+              interpret: bool = False, with_rank: bool = False, tile0=0,
+              gtiles: int = GT_BWD):
+    # Pad tile arrays to a multiple of gtiles. Pad starts MUST carry
+    # end-of-pairs (the final boundary-row flush happens on the last PAD
+    # tile at r_end = end // K — the same convention the strip pads use).
+    tp = -(-num_tiles // gtiles) * gtiles
+    if tp != num_tiles:
+        end = starts[-1] + counts[-1]
+        starts = jnp.concatenate([
+            starts, jnp.full((tp - num_tiles,), 1, jnp.int32) * end])
+        counts = jnp.pad(counts, (0, tp - num_tiles))
+        nbwd = jnp.pad(nbwd, (0, tp - num_tiles))
+        gaux = jnp.pad(gaux, ((0, tp - num_tiles), (0, 0), (0, 0)))
+    nring = 2 * gtiles if gtiles > 1 else 4
+    kernel = functools.partial(_bwd_kernel, nc=nc, with_rank=with_rank,
+                               gtiles=gtiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(num_tiles,),
+        grid=(tp // gtiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((4, 2, NFEAT, K), jnp.float32),   # chunk-0 ring
+            pltpu.VMEM((nring, 2, NFEAT, K), jnp.float32),  # chunk-0 ring
             pltpu.VMEM((4, 2, NFEAT, K), jnp.float32),   # deep in buffer
             pltpu.VMEM((2, NFEAT, K), jnp.float32),
             pltpu.VMEM((NFEAT, K), jnp.float32),
-            pltpu.VMEM((4, nc + 4, PIX), jnp.float32),   # gaux ring
+            pltpu.VMEM((nring, nc + 4, PIX), jnp.float32),  # gaux ring
             pltpu.VMEM((PIX, 8), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((nring,)),
+            pltpu.SemaphoreType.DMA((nring,)),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -42,7 +42,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-EXPAND_BLOCK = 1024      # output slots per grid step
+EXPAND_BLOCK = 2048      # output slots per grid step (round 4: doubled
+#                          from 1024 — halves the per-block fixed costs
+#                          (3 DMA issues + grid bookkeeping): bench
+#                          bin_and_pack 44.2 -> 42.9 ms. 4096 only gains
+#                          a further ~0.8 ms while doubling the unrolled
+#                          kernel size/compile time — not worth it.)
 EXPAND_SUB = 256         # one-hot sub-block granularity (skip unit)
 EXPAND_MARGIN = 128      # window slack for (rare) zero-count interior rows
 LANES = 128

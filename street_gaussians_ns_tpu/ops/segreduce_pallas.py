@@ -30,8 +30,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SEG_BLOCK = 1024     # segments per grid step
-PAIR_CHUNK = 1024    # pairs streamed per loop iteration
+SEG_BLOCK = 2048     # segments per grid step
+PAIR_CHUNK = 2048    # pairs streamed per loop iteration
+# Round 4: both doubled from 1024 — the kernel is ITERATION-latency
+# bound (total iterations ~ P/PAIR_CHUNK + num_out/SEG_BLOCK at ~3 us
+# each: ~4.3k iterations = ~13 ms at bench scale); doubling both halves
+# the iteration count for ~256 KB of VMEM buffers (well under 16 MB).
 LANES = 128
 
 

@@ -324,7 +324,21 @@ def sharded_scene_loss(
         rgb = jnp.minimum(img4[..., :3], 1.0)
         sky = None
         if env is not None:
-            sky = sky_color(env, camera, rng)
+            # Model-sharded sky: the cubemap sampler is ~19 ms fwd+bwd at
+            # bench scale and was replicated on every column (an Amdahl
+            # term of the model axis). Each column samples its pixel-row
+            # BAND (same jitter stream as the full-frame draw — the bands
+            # compose exactly), then one small all_gather (H*W*3 f32
+            # ~20 MB total) assembles the frame; the backward transpose
+            # psum_scatters the band cotangents.
+            if use_pallas and model_size > 1:
+                band = -(-height // model_size)
+                sky_band = sky_color(env, camera, rng,
+                                     row0=m_idx * band, rows=band)
+                sky = jax.lax.all_gather(
+                    sky_band, "model", axis=0, tiled=True)[:height]
+            else:
+                sky = sky_color(env, camera, rng)
             rgb = rgb * alpha + sky * (1.0 - alpha)
         depth = jnp.where(alpha > 1e-3, img4[..., 3:4] / jnp.maximum(alpha, 1e-3),
                           render_config.depth_far_fill)

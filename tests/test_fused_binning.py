@@ -141,6 +141,7 @@ def test_bf16_precision_mode_close_to_f32():
                                    err_msg=nm)
 
 
+@pytest.mark.slow   # ~25 s interpret-mode; NaN-regression guard
 def test_fused_depth_column_with_invisible_gaussians_is_finite():
     """Invisible gaussians carry +inf in the depth sort key; the fused
     path must sanitize the ridden depth COLUMN before the expansion
@@ -169,8 +170,11 @@ def test_fused_depth_column_with_invisible_gaussians_is_finite():
         assert bool(jnp.isfinite(x).all()), nm
 
 
+# Both precisions slow: ~37 s each in interpret mode; the sliced-path
+# equivalence (test_sharded) covers the strip contract in the default run.
 @pytest.mark.parametrize("precision", [
-    "f32", pytest.param("bf16", marks=pytest.mark.slow)])
+    pytest.param("f32", marks=pytest.mark.slow),
+    pytest.param("bf16", marks=pytest.mark.slow)])
 def test_strip_fused_tiles_match_full_image(precision):
     """composite_tiles_pallas_fused over every strip must reproduce the
     full-image fused render tile-for-tile, and the per-gaussian grads

@@ -184,6 +184,7 @@ class TestGradients:
         for a, b in zip(g_o, g_c):
             np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-3)
 
+    @pytest.mark.slow   # ~30 s; autodiff-vs-chunked grads stay default
     def test_grads_finite_diff(self):
         means, scales, quats, colors, opac, cam = make_scene(20, 6, w=24, h=24)
         target = jnp.zeros((24, 24, 3))

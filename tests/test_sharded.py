@@ -170,6 +170,35 @@ def test_sharded_surfaces_num_pairs_and_overflow_visible():
     assert true_pairs > 256
 
 
+def test_banded_sky_composes_to_full_frame():
+    """Model-sharded sky (round 4): pixel-row bands sampled with the SAME
+    jitter key must concatenate to exactly the full-frame sample —
+    including the padded last band, whose out-of-image rows are cropped."""
+    import jax
+    import jax.numpy as jnp
+
+    from street_gaussians_ns_tpu.models.splatfacto import (init_env_map,
+                                                           sky_color)
+    from street_gaussians_ns_tpu.models.splatfacto import SplatfactoConfig
+
+    env = init_env_map(SplatfactoConfig(env_map_res=16))
+    cam = make_cameras(1)[0]          # H=48: 4 bands of 13 pad to 52
+    key = jax.random.PRNGKey(3)
+    full = sky_color(env, cam, key)
+    band = -(-cam.height // 4)
+    parts = [sky_color(env, cam, key, row0=m * band, rows=band)
+             for m in range(4)]
+    stitched = jnp.concatenate(parts, axis=0)[:cam.height]
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(stitched))
+    # And the eval path (no jitter) too.
+    full_e = sky_color(env, cam, None)
+    parts_e = [sky_color(env, cam, None, row0=m * band, rows=band)
+               for m in range(4)]
+    np.testing.assert_array_equal(
+        np.asarray(full_e),
+        np.asarray(jnp.concatenate(parts_e, axis=0)[:cam.height]))
+
+
 @pytest.mark.slow
 def test_model_sharded_binning_scales_per_device_pairs():
     """Round-4 'Done' criterion: with model-sharded binning the

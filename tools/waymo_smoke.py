@@ -83,8 +83,11 @@ def main(argv=None):
     out.mkdir(parents=True, exist_ok=True)
     run_dir = out / "run"
 
+    # 50/50 split so eval/render/resume have held-out frames even on
+    # tiny clips (the reference's default split leaves all frames train).
     data_cfg = DataParserConfig(data=args.data,
-                                load_dynamic_annotations=True)
+                                load_dynamic_annotations=True,
+                                train_split_fraction=0.5)
 
     def do_parse():
         scene = parse_scene(data_cfg)
@@ -92,8 +95,8 @@ def main(argv=None):
                  else scene.annotations.num_objects)
         return (f"{len(scene.image_paths)} frames, "
                 f"{len(scene.train_indices)} train, {n_obj} objects, "
-                f"{0 if scene.points3d is None else len(scene.points3d)} "
-                "seed points")
+                f"{0 if scene.points_xyz is None else len(scene.points_xyz)}"
+                " seed points")
 
     if not ck.run("parse", do_parse):
         sys.exit(1)
@@ -143,7 +146,8 @@ def main(argv=None):
         tr = eval_setup(run_dir)
         step = int(tr.state.step)
         assert step == args.steps, (step, args.steps)
-        cam, _ = tr.dm.next_eval(0)
+        cam, _ = (tr.dm.next_eval(0) if tr.dm.num_eval
+                  else tr.dm.next_train(0))
         img = tr._viewer_render(np.asarray(cam.c2w), float(cam.time),
                                 cam.width, cam.height)
         assert img.shape[0] == cam.height
