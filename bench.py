@@ -164,14 +164,15 @@ def main():
                        "~50 GB/s/direction"},
         "data_axis_comm_MB_per_step": {
             "grad_psum": "2*236/M (59 f32/gaussian, model-sharded)"},
-        "projected_step_ms_model_axis": {"M=2": 98, "M=4": 64, "M=8": 50},
+        "projected_step_ms_model_axis": {"M=2": 93, "M=4": 56, "M=8": 42},
         "projected_2host_dp_efficiency": "~93% (236 MB over DCN 25 GB/s "
                                          "= 9.4 ms vs 125 ms step)",
-        "notes": "replicated terms (full-N depth sort 4.4 + grad unsort "
-                 "~3 + rank_rowsum ~2 + SSIM ~10; the sky sampler is "
-                 "now row-BANDED across model) cap the model axis at "
-                 "~2.5x at M=8 until SSIM is tile-sharded; arithmetic "
-                 "in README 'Scaling model (round 4)'."}
+        "notes": "sky sampling AND the SSIM loss are row-BANDED across "
+                 "the model axis (round 4); remaining replicated terms "
+                 "(full-N depth sort 4.4 + grad unsort ~3 + rank_rowsum "
+                 "~2) + the layer all_gather cap the model axis at "
+                 "~3.1x at M=8; arithmetic in README 'Scaling model "
+                 "(round 4)'."}
     print(json.dumps({
         "metric": "rasterize_fwd_bwd_mpix_per_s",
         "value": round(mpix_s, 2),

@@ -366,11 +366,12 @@ def scene_loss_dict(
     batch: dict,
     config: SceneGraphConfig,
     step: jax.Array,
+    ssim_fn=None,
 ) -> dict:
     """Base L1+SSIM+sky losses plus the object/background accumulation
     entropy loss, active past the background's stop_split_at
-    (scene_graph:376-391)."""
-    losses = loss_dict(outputs, batch, config.base)
+    (scene_graph:376-391). ssim_fn: see models.splatfacto.loss_dict."""
+    losses = loss_dict(outputs, batch, config.base, ssim_fn=ssim_fn)
     if config.object_acc_entropy_loss_mult > 0 and "object_acc" in outputs:
         acc = jnp.clip(outputs["object_acc"], 1e-5, 1.0 - 1e-5)
         ent = -(acc * jnp.log(acc) + (1 - acc) * jnp.log(1 - acc))

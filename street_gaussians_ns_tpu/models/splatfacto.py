@@ -175,10 +175,16 @@ def loss_dict(
     outputs: dict,
     batch: dict,
     config: SplatfactoConfig,
+    ssim_fn=None,
 ) -> dict:
     """L1 + SSIM + sky accumulation losses (get_loss_dict,
     sgn_splatfacto.py:1042-1094). batch: {"image" (H,W,3) float in [0,1],
-    optional "mask" (H,W,1) bool, optional "semantic" (H,W,1) int}."""
+    optional "mask" (H,W,1) bool, optional "semantic" (H,W,1) int}.
+
+    ssim_fn overrides the SSIM mean (same contract as ops.ssim.ssim) —
+    the model-sharded path passes a BAND-sharded version whose value is
+    psum'd replicated while its compute/gradient covers only the local
+    band (parallel.sharded)."""
     gt = batch["image"].astype(jnp.float32)
     rgb = outputs["rgb"]
     if "mask" in batch and batch["mask"] is not None:
@@ -186,7 +192,7 @@ def loss_dict(
         gt = gt * m
         rgb = rgb * m
     l1 = jnp.mean(jnp.abs(gt - rgb))
-    simloss = 1.0 - ssim(gt, rgb)
+    simloss = 1.0 - (ssim_fn or ssim)(gt, rgb)
     losses = {
         "Ll1": (1.0 - config.ssim_lambda) * l1,
         "simloss": config.ssim_lambda * simloss,

@@ -59,6 +59,23 @@ def _blur(x: jax.Array, win: jax.Array) -> jax.Array:
     return out
 
 
+def _ssim_map(x, y, data_range, win_size, sigma):
+    """(1, C, h-K+1, w-K+1) SSIM map of two (1, C, h, w) images."""
+    win = _gaussian_window(win_size, sigma)
+    c1 = (K1 * data_range) ** 2
+    c2 = (K2 * data_range) ** 2
+    mu1 = _blur(x, win)
+    mu2 = _blur(y, win)
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu1_mu2 = mu1 * mu2
+    sigma1_sq = _blur(x * x, win) - mu1_sq
+    sigma2_sq = _blur(y * y, win) - mu2_sq
+    sigma12 = _blur(x * y, win) - mu1_mu2
+    cs = (2.0 * sigma12 + c2) / (sigma1_sq + sigma2_sq + c2)
+    return ((2.0 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1)) * cs
+
+
 def ssim(
     img1: jax.Array,  # (H, W, C) in [0, data_range]
     img2: jax.Array,  # (H, W, C)
@@ -69,23 +86,47 @@ def ssim(
     """Mean SSIM over pixels and channels (scalar). Differentiable."""
     x = jnp.transpose(img1, (2, 0, 1))[None].astype(jnp.float32)  # (1,C,H,W)
     y = jnp.transpose(img2, (2, 0, 1))[None].astype(jnp.float32)
-    win = _gaussian_window(win_size, sigma)
+    return jnp.mean(_ssim_map(x, y, data_range, win_size, sigma))
 
-    c1 = (K1 * data_range) ** 2
-    c2 = (K2 * data_range) ** 2
 
-    mu1 = _blur(x, win)
-    mu2 = _blur(y, win)
-    mu1_sq = mu1 * mu1
-    mu2_sq = mu2 * mu2
-    mu1_mu2 = mu1 * mu2
-    sigma1_sq = _blur(x * x, win) - mu1_sq
-    sigma2_sq = _blur(y * y, win) - mu2_sq
-    sigma12 = _blur(x * y, win) - mu1_mu2
+def ssim_band_mean(
+    img1: jax.Array,  # (H, W, C)
+    img2: jax.Array,  # (H, W, C)
+    row0,             # () int32, possibly traced: first SSIM-map row
+    rows: int,        # static band height in MAP rows
+    data_range: float = 1.0,
+    win_size: int = 11,
+    sigma: float = 1.5,
+) -> jax.Array:
+    """BAND-SHARDED mean SSIM (round 4, model-axis Amdahl fix).
 
-    cs = (2.0 * sigma12 + c2) / (sigma1_sq + sigma2_sq + c2)
-    ssim_map = ((2.0 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1)) * cs
-    return jnp.mean(ssim_map)
+    Valid-padding SSIM's map has H-K+1 rows; map row r depends only on
+    image rows [r, r+K). A device computing map rows [row0, row0+rows)
+    therefore needs just that image band plus the K-1 halo — so M model
+    columns each run _ssim_map on ~1/M of the image and the band means
+    compose EXACTLY (each map value is computed identically to the
+    full-frame one). Returns sum(band map) / (full map size): callers
+    psum over the model axis to get the full-frame mean, with the
+    gradient flowing only through the local band (the psum transpose
+    broadcasts the cotangent — see parallel.sharded).
+
+    Rows past the real map (grid padding) are zero-masked."""
+    h, w, c = img1.shape
+    map_h = h - win_size + 1
+    row0 = jnp.asarray(row0, jnp.int32)
+    # Image band [row0, row0 + rows + K - 1), padded so the last (grid
+    # pad) band slices cleanly.
+    band_img = rows + win_size - 1
+
+    def band(img):
+        p = jnp.pad(img, ((0, rows), (0, 0), (0, 0)))
+        s = jax.lax.dynamic_slice(p, (row0, 0, 0), (band_img, w, c))
+        return jnp.transpose(s, (2, 0, 1))[None].astype(jnp.float32)
+
+    m = _ssim_map(band(img1), band(img2), data_range, win_size, sigma)
+    valid = (jnp.arange(rows)[None, None, :, None] + row0) < map_h
+    total = jnp.sum(jnp.where(valid, m, 0.0))
+    return total / (map_h * (w - win_size + 1) * c)
 
 
 def psnr(img1: jax.Array, img2: jax.Array, data_range: float = 1.0) -> jax.Array:

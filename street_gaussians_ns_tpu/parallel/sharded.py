@@ -350,7 +350,26 @@ def sharded_scene_loss(
             "background_acc": tiles_to_image(alpha_bg, ntx, nty, ts, width,
                                              height)[..., None],
         }
-        losses = scene_loss_dict(outputs, batch, config, step)
+        # BAND-SHARDED SSIM (round 4, the largest replicated loss term —
+        # ~10 ms fwd+bwd at bench scale): each model column evaluates the
+        # SSIM map over its band of map rows (+10-row halo, exact
+        # composition — ops.ssim.ssim_band_mean), psum makes the VALUE
+        # replicated while the gradient flows only through the local
+        # band; the collective transpose of the parameter broadcast sums
+        # the per-column contributions.
+        ssim_fn = None
+        if use_pallas and model_size > 1:
+            from ..ops.ssim import ssim_band_mean
+
+            map_h = height - 10
+            sband = -(-map_h // model_size)
+
+            def ssim_fn(a, b):
+                part = ssim_band_mean(a, b, m_idx * sband, sband)
+                return jax.lax.psum(part, "model")
+
+        losses = scene_loss_dict(outputs, batch, config, step,
+                                 ssim_fn=ssim_fn)
         local = sum(losses.values())
         loss = jax.lax.pmean(local, "data")
         psnr_local = -10.0 * jnp.log10(jnp.maximum(

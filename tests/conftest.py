@@ -20,10 +20,12 @@ jax.config.update("jax_enable_x64", False)
 
 # Persistent compilation cache: first runs are compile-dominated
 # (interpret-mode Pallas + many jit variants); caching compiled
-# executables on disk plus the xdist -n 4 default (pyproject addopts)
-# brings the warm default suite to ~2.5 min wall (serial warm: ~8.5 min,
-# measured round 4) — what makes running tests before every commit
-# viable.
+# executables on disk plus the xdist `-n 4 --dist loadscope` default
+# (pyproject addopts) brings the warm default suite under 3 min wall
+# (179 s measured round 4; serial warm: ~8.5 min) — what makes running
+# tests before every commit viable. loadscope matters: plain `load`
+# scatters same-module tests and re-runs module fixtures per worker
+# (~5 min).
 _cache = os.environ.get("SGNT_JAX_CACHE",
                         os.path.expanduser("~/.cache/sgnt_jax_cache"))
 os.makedirs(_cache, exist_ok=True)

@@ -119,6 +119,7 @@ def test_trainer_camera_opt_end_to_end(clip, tmp_path_factory):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow   # trainer-loop variant; the integration test covers the loop in default
 def test_trainer_grows_pair_capacity_from_undersized(clip,
                                                      tmp_path_factory):
     from street_gaussians_ns_tpu.engine.trainer import Trainer
@@ -175,6 +176,7 @@ def test_eval_all_images_cadence(clip, tmp_path_factory):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow   # trainer-loop variant; the integration test covers the loop in default
 def test_sharded_trainer_smoke(clip, tmp_path_factory):
     """The driveable multi-chip path: ShardedTrainer on a (2, 2) mesh over
     the synthetic clip — shares Trainer's host loop (refine cadence, pair

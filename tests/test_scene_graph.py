@@ -134,14 +134,25 @@ class TestSceneForward:
                           time=1.0)
         outputs, rout, boxes = forward_scene(
             store, make_tracks(), cam, jnp.int32(0), CFG, RCFG,
-            rng=jax.random.PRNGKey(0), training=False, eval_extras=True)
+            rng=jax.random.PRNGKey(0), training=False)
         for k in ("rgb", "accumulation", "depth", "sky", "object_acc",
-                  "background_acc", "background_rgb", "object_rgb"):
+                  "background_acc"):
             assert k in outputs, k
         assert outputs["rgb"].shape == (H, W, 3)
         # Objects sit right in front of the camera: object_acc nonzero.
         assert float(outputs["object_acc"].max()) > 0.1
         assert float(outputs["background_acc"].max()) > 0.1
+
+    @pytest.mark.slow   # eval_extras runs ~6 extra full renders (~20 s)
+    def test_forward_eval_extras_outputs(self):
+        store = make_store()
+        cam = Camera.make(40.0, 40.0, W / 2, H / 2, jnp.eye(3, 4), W, H,
+                          time=1.0)
+        outputs, _, _ = forward_scene(
+            store, make_tracks(), cam, jnp.int32(0), CFG, RCFG,
+            rng=jax.random.PRNGKey(0), training=False, eval_extras=True)
+        for k in ("background_rgb", "object_rgb"):
+            assert k in outputs, k
 
     def test_invisible_time_renders_background_only(self):
         store = make_store()

@@ -170,6 +170,26 @@ def test_sharded_surfaces_num_pairs_and_overflow_visible():
     assert true_pairs > 256
 
 
+def test_banded_ssim_composes_to_full_frame():
+    """Model-sharded SSIM (round 4): band means (map rows + halo) summed
+    over the bands must equal the full-frame SSIM to f32 association."""
+    import jax
+    import jax.numpy as jnp
+
+    from street_gaussians_ns_tpu.ops.ssim import ssim, ssim_band_mean
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    a = jax.random.uniform(k1, (48, 64, 3))
+    b = jnp.clip(a + 0.1 * jax.random.normal(k2, (48, 64, 3)), 0, 1)
+    full = float(ssim(a, b))
+    map_h = 48 - 10                       # 38 -> bands of 10, padded
+    for m_parts in (2, 4):
+        band = -(-map_h // m_parts)
+        parts = [float(ssim_band_mean(a, b, m * band, band))
+                 for m in range(m_parts)]
+        np.testing.assert_allclose(sum(parts), full, rtol=2e-6)
+
+
 def test_banded_sky_composes_to_full_frame():
     """Model-sharded sky (round 4): pixel-row bands sampled with the SAME
     jitter key must concatenate to exactly the full-frame sample —
