@@ -90,12 +90,12 @@ def _segsum_kernel(c0_ref, nch_ref, rows_hbm, st_ref, en_ref, out_ref,
 
 
 def _ranksum_kernel(c0_ref, nch_ref, rows_hbm, out_ref, buf, sem, *,
-                    c8: int, ng: int):
+                    c8: int, ng: int, pair_chunk: int):
     """Rank-keyed variant: the stream's row `ng` carries each pair's
     OUTPUT INDEX (depth rank, exact small ints in f32), pairs sorted by
     that rank. No segment-bound arrays exist at all — the one-hot is an
     equality compare of the rank row against the block's rank ids, built
-    transposed ((segs, pairs)) so the (1, PAIR_CHUNK) rank row needs no
+    transposed ((segs, pairs)) so the (1, pair_chunk) rank row needs no
     in-kernel transpose."""
     b = pl.program_id(0)
     c0 = c0_ref[b]
@@ -104,7 +104,7 @@ def _ranksum_kernel(c0_ref, nch_ref, rows_hbm, out_ref, buf, sem, *,
 
     def dma(slot, j):
         return pltpu.make_async_copy(
-            rows_hbm.at[:, pl.ds((c0 + j) * PAIR_CHUNK, PAIR_CHUNK)],
+            rows_hbm.at[:, pl.ds((c0 + j) * pair_chunk, pair_chunk)],
             buf.at[slot], sem.at[slot])
 
     @pl.when(nch > 0)
@@ -122,8 +122,8 @@ def _ranksum_kernel(c0_ref, nch_ref, rows_hbm, out_ref, buf, sem, *,
             dma((j + 1) % 2, j + 1).start()
 
         dma(slot, j).wait()
-        chunk = buf[slot]                               # (C8, PAIR_CHUNK)
-        rank = chunk[ng:ng + 1, :].astype(jnp.int32)    # (1, PAIR_CHUNK)
+        chunk = buf[slot]                               # (C8, pair_chunk)
+        rank = chunk[ng:ng + 1, :].astype(jnp.int32)    # (1, pair_chunk)
         lo = jnp.min(rank)
         hi = jnp.max(rank)
         for k in range(SEG_BLOCK // LANES):
@@ -132,7 +132,7 @@ def _ranksum_kernel(c0_ref, nch_ref, rows_hbm, out_ref, buf, sem, *,
             @pl.when((hi >= rk) & (lo < rk + LANES))
             def _():
                 ohT = (rank == (seg_col + rk)).astype(
-                    jnp.float32)                        # (128, PAIR_CHUNK)
+                    jnp.float32)                        # (128, pair_chunk)
                 out_ref[:, k * LANES:(k + 1) * LANES] += (
                     jax.lax.dot_general(
                         chunk, ohT,
@@ -144,12 +144,19 @@ def _ranksum_kernel(c0_ref, nch_ref, rows_hbm, out_ref, buf, sem, *,
 
 
 def rank_rowsum(rows: jax.Array, ranks: jax.Array, num_out: int,
-                interpret: bool = False) -> jax.Array:
+                interpret: bool = False,
+                pair_chunk: int = PAIR_CHUNK) -> jax.Array:
     """out[:, r] = sum of rows[:, p] over pairs p with ranks[p] == r.
 
     rows (C, P) f32 — row C-1 (== ng) MUST be `ranks` as f32; ranks (P,)
     int32 sorted ascending in [0, num_out] (num_out = discard bucket).
-    Returns (C-1, num_out) f32."""
+    Returns (C-1, num_out) f32.
+
+    pair_chunk: pairs streamed per loop iteration. The kernel is
+    iteration-latency bound (~3 us each); narrow inputs (e.g. the 1-row
+    tile-histogram that replaced the per-tile-bounds searchsorted in
+    ops.tiles) should pass a much larger chunk — VMEM cost is
+    2 * c8 * pair_chunk * 4 bytes."""
     c, p_len = rows.shape
     ng = c - 1
     if not (interpret or jax.default_backend() == "tpu"):
@@ -160,8 +167,8 @@ def rank_rowsum(rows: jax.Array, ranks: jax.Array, num_out: int,
     c8 = (c + 7) // 8 * 8
     s_pad = (num_out + SEG_BLOCK - 1) // SEG_BLOCK * SEG_BLOCK
     nb = s_pad // SEG_BLOCK
-    p_pad = ((p_len + PAIR_CHUNK - 1) // PAIR_CHUNK * PAIR_CHUNK
-             + PAIR_CHUNK)
+    p_pad = ((p_len + pair_chunk - 1) // pair_chunk * pair_chunk
+             + pair_chunk)
     # Pad pairs with rank = num_out (the discard bucket past every block).
     rows_p = jnp.pad(rows.astype(jnp.float32),
                      ((0, c8 - c), (0, p_pad - p_len)))
@@ -170,11 +177,12 @@ def rank_rowsum(rows: jax.Array, ranks: jax.Array, num_out: int,
     # SEG_BLOCK)) reads the contiguous pair range located by searchsorted.
     blk = jnp.arange(nb + 1, dtype=jnp.int32) * SEG_BLOCK
     bounds = jnp.searchsorted(ranks, blk, side="left").astype(jnp.int32)
-    c0 = bounds[:-1] // PAIR_CHUNK
+    c0 = bounds[:-1] // pair_chunk
     nch = jnp.maximum(
-        0, (bounds[1:] - c0 * PAIR_CHUNK + PAIR_CHUNK - 1) // PAIR_CHUNK)
+        0, (bounds[1:] - c0 * pair_chunk + pair_chunk - 1) // pair_chunk)
     out = pl.pallas_call(
-        functools.partial(_ranksum_kernel, c8=c8, ng=ng),
+        functools.partial(_ranksum_kernel, c8=c8, ng=ng,
+                          pair_chunk=pair_chunk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nb,),
@@ -182,7 +190,7 @@ def rank_rowsum(rows: jax.Array, ranks: jax.Array, num_out: int,
             out_specs=pl.BlockSpec((c8, SEG_BLOCK), lambda b, *_: (0, b),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, c8, PAIR_CHUNK), jnp.float32),
+                pltpu.VMEM((2, c8, pair_chunk), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),

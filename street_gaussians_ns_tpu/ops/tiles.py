@@ -477,6 +477,11 @@ def bin_and_pack(
     # One searchsorted for both bounds: keys are sorted, so tile t's right
     # boundary IS tile t+1's left boundary, and the sentinel row
     # (tile_id == num_tiles for invalid pairs) closes the last tile.
+    # (~4.1 ms at bench scale — XLA lowers the 6601 queries as ~22 gather
+    # rounds. A rank_rowsum-based histogram + tiny cumsum was tried in
+    # round 4 and measured WITHIN the bench's ±3.5 ms run-to-run noise of
+    # this version — no demonstrated win for the extra 27 MB stacked
+    # operand and kernel, so the simpler searchsorted stays.)
     tids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
     bounds = jnp.searchsorted(tile_sorted, tids, side="left").astype(
         jnp.int32)
