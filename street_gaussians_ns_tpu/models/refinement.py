@@ -72,9 +72,10 @@ def _scatter_children(
     active: jax.Array,
     child_params: GaussianParams,   # (M, ...) candidate children
     child_valid: jax.Array,         # (M,) bool
-) -> Tuple[GaussianParams, jax.Array, jax.Array, jax.Array]:
+) -> Tuple[GaussianParams, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Place valid children into inactive slots (first-fit). Returns
-    (params, active, placed_mask_over_slots, n_dropped)."""
+    (params, active, placed_mask_over_slots, placed_mask_over_children,
+    n_dropped)."""
     cap = active.shape[0]
     free = ~active
     # Rank of each free slot among free slots; rank of each valid child.
@@ -102,7 +103,7 @@ def _scatter_children(
     new_active = active.at[target].set(True, mode="drop")
     placed_slots = jnp.zeros((cap,), bool).at[target].set(placed, mode="drop")
     n_dropped = n_children - jnp.sum(placed.astype(jnp.int32))
-    return new_params, new_active, placed_slots, n_dropped
+    return new_params, new_active, placed_slots, placed, n_dropped
 
 
 def refine(
@@ -170,17 +171,24 @@ def refine(
     split_scales = jnp.broadcast_to(
         jnp.log(jnp.exp(psel.scales) / 1.6), (nsamps, capp, 3))
 
-    def rep(x, n):
-        return jnp.broadcast_to(x[None], (n,) + x.shape).reshape(
-            (n * capp,) + x.shape[1:])
+    # PARENT-MAJOR child order ((CAPP, S) flattened): one parent's
+    # samples occupy adjacent child slots, so the first-fit placement
+    # under a tight slot budget completes WHOLE split families — the
+    # cull below only kills parents whose full replacement landed.
+    def pm(x_snc):
+        return jnp.swapaxes(x_snc, 0, 1).reshape(
+            (capp * nsamps,) + x_snc.shape[2:])
+
+    def rep(x):
+        return jnp.repeat(x, nsamps, axis=0)
 
     split_children = GaussianParams(
-        means=split_means.reshape(nsamps * capp, 3),
-        scales=split_scales.reshape(nsamps * capp, 3),
-        quats=rep(psel.quats, nsamps),
-        features_dc=rep(psel.features_dc, nsamps),
-        features_rest=rep(psel.features_rest, nsamps),
-        opacities=rep(psel.opacities, nsamps),
+        means=pm(split_means),
+        scales=pm(split_scales),
+        quats=rep(psel.quats),
+        features_dc=rep(psel.features_dc),
+        features_rest=rep(psel.features_rest),
+        opacities=rep(psel.opacities),
     )
     dup_children = psel
 
@@ -189,11 +197,10 @@ def refine(
         for k in p.as_dict()
     })
     child_valid = jnp.concatenate([
-        jnp.broadcast_to(splits_sel[None], (nsamps, capp)).reshape(-1),
-        dups_sel])
+        jnp.repeat(splits_sel, nsamps), dups_sel])
 
-    new_params, new_active, placed, n_dropped = _scatter_children(
-        p, store.active, children, child_valid)
+    new_params, new_active, placed, placed_children, n_dropped = \
+        _scatter_children(p, store.active, children, child_valid)
     # Children lost to the parent budget (not just the slot budget).
     over_splits = jnp.sum(splits.astype(jnp.int32)) - jnp.sum(
         splits_sel.astype(jnp.int32))
@@ -213,14 +220,20 @@ def refine(
         max2d > config.cull_screen_size)
     culls = culls | (past_first_reset & new_active & (toobig_world | toobig_screen))
     # split originals die (splits_mask, :613-625) — but ONLY parents whose
-    # children were actually generated: parents past the CAPP compaction
-    # budget never produced children (they are counted in n_dropped), and
-    # culling them too would make gaussians vanish without replacement even
-    # when free slots exist. Scatter the selected-split mask back over
-    # `sel` (distinct indices by construction) into a (CAP,) mask.
-    splits_generated = jnp.zeros((cap,), jnp.bool_).at[sel].set(
-        splits_sel, unique_indices=True)
-    culls = culls | splits_generated
+    # children were actually PLACED: parents past the CAPP compaction
+    # budget never produced children, and parents whose generated
+    # children were all dropped by the SLOT budget (buffer near capacity)
+    # got no replacement either — culling those would make gaussians
+    # vanish without replacement. Require ALL nsamps split samples
+    # placed (a partially-placed parent is kept: slight transient
+    # over-densification, corrected by later culls, beats losing the
+    # splat's mass outright). Scatter the mask back over `sel` (distinct
+    # indices by construction) into a (CAP,) mask.
+    split_children_placed = jnp.all(
+        placed_children[:nsamps * capp].reshape(capp, nsamps), axis=1)
+    splits_replaced = jnp.zeros((cap,), jnp.bool_).at[sel].set(
+        splits_sel & split_children_placed, unique_indices=True)
+    culls = culls | splits_replaced
     # Reference quirk replicated: past stop_split_at, after_train stops
     # refreshing stats so refinement_after early-returns on every call
     # EXCEPT the first refine boundary at/after stop_split_at (whose stats

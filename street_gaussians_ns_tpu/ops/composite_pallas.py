@@ -1160,77 +1160,12 @@ def rasterize_tiles_pallas(
 
 
 # ---------------------------------------------------------------------------
-# Tile-strip compositing (the sharded path: each model shard composites a
-# contiguous range of tiles with the SAME Pallas kernels).
+# Fused tile-strip compositing. (The NON-fused strip path —
+# rasterize_pallas_strip_core / composite_tiles_pallas — was removed in
+# round 4 when the sharded scheme moved from tile strips to depth-sliced
+# layer merging; git history has it if a bins-shared strip compositor is
+# ever needed again.)
 # ---------------------------------------------------------------------------
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
-def rasterize_pallas_strip_core(xys, conics, colors, opacities, bins,
-                                tile0f, n_tiles: int, ntx: int,
-                                num_gaussians: int, interpret: bool = False):
-    """Composite tiles [tile0, tile0 + n_tiles) of a binned scene and
-    return TILE-layout outputs (accum (n_tiles, PIX, C), alpha
-    (n_tiles, PIX)). tile0f is a traced f32 scalar (device-varying inside
-    shard_map — each model column passes its own strip origin; f32 so its
-    zero cotangent is dtype-legal). The backward runs the strip's tiles
-    through the same replay kernel and reduces per-gaussian gradients over
-    the strip's pairs only (rows outside the strip stay zero via the
-    aliased zero-init); the caller's collective transpose (all_gather <->
-    psum_scatter over 'model') then sums strips into full gradients."""
-    out, _ = _strip_fwd(xys, conics, colors, opacities, bins, tile0f,
-                        n_tiles, ntx, num_gaussians, interpret)
-    return out
-
-
-def _strip_fwd(xys, conics, colors, opacities, bins, tile0f, n_tiles, ntx,
-               num_gaussians, interpret):
-    nc = colors.shape[-1]
-    tile0 = tile0f.astype(jnp.int32)
-    feat = _build_feat(xys, conics, colors, opacities, bins)
-    starts = jax.lax.dynamic_slice(bins.tile_start, (tile0,), (n_tiles,))
-    counts = jax.lax.dynamic_slice(bins.tile_count, (tile0,), (n_tiles,))
-    accum, tfin, ncon = _fwd_call(feat, starts, counts, ntx, n_tiles, nc,
-                                  interpret, tile0=tile0)
-    residuals = (bins, feat, accum, tfin, ncon, starts, counts, tile0)
-    return (accum, 1.0 - tfin), residuals
-
-
-def _strip_bwd(n_tiles, ntx, num_gaussians, interpret, residuals,
-               cotangents):
-    (bins, feat, accum, tfin, ncon, starts, counts, tile0) = residuals
-    g_accum, g_alpha = cotangents
-    nc = accum.shape[-1]
-    max_pairs = bins.gauss_idx.shape[0]
-    g_t = -g_alpha                                       # alpha = 1 - T
-    gdotacc = jnp.sum(g_accum * accum, axis=-1)
-    gaux = jnp.concatenate([
-        g_accum.transpose(0, 2, 1),
-        jnp.stack([g_t, tfin, ncon.astype(jnp.float32), gdotacc],
-                  axis=1)], axis=1)                      # (T, nc+4, PIX)
-    nchunks_bwd = jnp.minimum(
-        (counts + K - 1) // K,
-        (jnp.max(ncon, axis=1) + K - 1) // K).astype(jnp.int32)
-    gpair = _bwd_call(feat, starts, counts, nchunks_bwd, max_pairs // K + 1,
-                      ntx, n_tiles, nc, gaux, interpret, tile0=tile0)
-    seg = _reduce_pair_grads(gpair, bins, num_gaussians, nc, interpret)
-    return (seg[:, 0:2], seg[:, 2:5], seg[:, 6:6 + nc], seg[:, 5], None,
-            jnp.zeros((), jnp.float32))
-
-
-rasterize_pallas_strip_core.defvjp(_strip_fwd, _strip_bwd)
-
-
-def composite_tiles_pallas(xys, conics, colors, opacities, bins: TileBins,
-                           tile0, n_tiles: int,
-                           interpret: bool = False):
-    """Strip peer of ops.composite_chunked.composite_tiles for CONTIGUOUS
-    tile ranges: full Pallas kernels, no per-tile splat cap, no truncation.
-    Returns (accum (n_tiles, PIX, C), alpha (n_tiles, PIX))."""
-    return rasterize_pallas_strip_core(
-        xys, conics, colors.astype(jnp.float32), opacities, bins,
-        jnp.asarray(tile0, jnp.float32), n_tiles, bins.num_tiles_x,
-        xys.shape[0], interpret)
 
 
 @functools.partial(jax.custom_vjp,

@@ -393,6 +393,14 @@ def sharded_scene_loss(
             "num_rowruns": jax.lax.pmax(
                 jax.lax.stop_gradient(bins_main.num_rowruns),
                 ("data", "model")),
+            # Densest tile: feeds the Trainer's portable-path truncation
+            # warning (the chunked fallback composites at most
+            # max_per_tile splats per tile — exact there since its bins
+            # are replicated; on the Pallas path this is the per-SLICE
+            # max, informational only — that path never truncates).
+            "max_tile_count": jax.lax.pmax(
+                jax.lax.stop_gradient(bins_main.max_tile_count),
+                ("data", "model")),
             # radii per gaussian for densification stats: bg local shard is
             # returned sharded; radii were computed pre-gather.
             "bg_radii": pr_bg.radii[None],
@@ -416,6 +424,7 @@ def sharded_scene_loss(
         P("data"),                  # rngs
     )
     out_specs = (P(), {"psnr": P(), "num_pairs": P(), "num_rowruns": P(),
+                       "max_tile_count": P(),
                        "bg_radii": P("data", "model"),
                        "obj_radii": P("data")})
     return jax.shard_map(per_device, mesh=mesh, in_specs=in_specs,
@@ -534,6 +543,7 @@ def make_sharded_train_step(
         metrics = {"loss": loss, "psnr": aux["psnr"],
                    "num_pairs": aux["num_pairs"],
                    "num_rowruns": aux["num_rowruns"],
+                   "max_tile_count": aux["max_tile_count"],
                    "gaussian_count": bg_store.num_active
                    + (obj_store.num_active if n_obj else 0)}
         return SceneTrainState(store=new_store, opt=new_opt,

@@ -53,11 +53,15 @@ def test_unbudgeted_split_parents_survive():
     assert n_splits == n_act
     n_free = cap - n_act                      # free slots pre-scatter
     n_after = int(jnp.sum(store2.active))
-    # Only the CAPP budgeted parents die (their children were generated);
-    # the other n_act - capp parents stay alive. Children fill the free
-    # slots. With the old bug every split parent was culled and the
-    # count collapsed to n_free + ... (112 here instead of 256).
-    assert n_after == n_act - capp + n_free, (n_after, info)
+    # A split parent dies ONLY when its whole replacement landed: with
+    # parent-major child placement, n_free // nsamps parents (56 here)
+    # get both children placed and are culled; every other parent —
+    # past the CAPP budget OR slot-budget-starved — stays alive. With
+    # the round-3 bug every split parent was culled (count collapsed to
+    # n_free = 112); with the round-4a fix parents past CAPP survived
+    # but slot-starved ones still vanished.
+    n_replaced = n_free // 2                  # nsamps = 2
+    assert n_after == n_act - n_replaced + n_free, (n_after, info)
 
 
 def test_max_tile_count_metric_reports_truncation():
