@@ -14,12 +14,25 @@ ROOT = pathlib.Path(__file__).resolve().parents[1]
 
 
 @pytest.mark.slow
-def test_two_process_distributed_step_matches_single():
+@pytest.mark.parametrize("data,model,portoff", [
+    (8, 1, 0),     # DATA axis crosses processes: cross-host grad psum
+    (1, 8, 2),     # MODEL axis crosses processes: cross-host layer
+    #                all_gather / psum_scatter of the depth slices
+])
+def test_two_process_distributed_step_matches_single(data, model, portoff):
+    import os
+
+    # PID-derived port: two suite invocations running concurrently (e.g.
+    # a background -m slow run next to a foreground one) must not race
+    # for the same coordinator socket.
+    port = 20000 + (os.getpid() * 4 + portoff) % 20000
     r = subprocess.run(
         [sys.executable, str(ROOT / "tools" / "multihost_smoke.py")],
         capture_output=True, text=True, timeout=1200,
         env={"PATH": "/usr/bin:/bin:/usr/local/bin",
              "HOME": str(pathlib.Path.home()),
-             "SGNT_SMOKE_PORT": "12431"})
+             "SGNT_SMOKE_PORT": str(port),
+             "SGNT_SMOKE_DATA": str(data),
+             "SGNT_SMOKE_MODEL": str(model)})
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
     assert "MULTIHOST SMOKE OK" in r.stdout, r.stdout[-2000:]

@@ -28,7 +28,13 @@ sys.path.insert(0, str(ROOT))
 sys.path.insert(0, str(ROOT / "tests"))
 
 PORT = int(os.environ.get("SGNT_SMOKE_PORT", "12357"))
-DATA, MODEL = 8, 1          # data axis spans the two processes
+# Mesh via env (tests exercise both): (8, 1) makes the DATA axis span the
+# two processes (cross-host grad psum); (1, 8) puts the MODEL axis across
+# them (cross-host all_gather/psum_scatter of the depth-sliced layers —
+# with the row-major ('data','model') device layout the model axis only
+# crosses the 4-device process boundary when model > 4).
+DATA = int(os.environ.get("SGNT_SMOKE_DATA", "8"))
+MODEL = int(os.environ.get("SGNT_SMOKE_MODEL", "1"))
 
 
 def build_inputs():
@@ -109,8 +115,15 @@ def worker(pid: int):
     assert len(jax.devices()) == 8, len(jax.devices())
     assert len(jax.local_devices()) == 4
     mesh = make_mesh(data=DATA, model=MODEL)
-    # Process p owns global devices [4p, 4p+4) = data rows [4p, 4p+4).
-    local_rows = list(range(4 * pid, 4 * pid + 4))
+    if DATA >= 2:
+        # Data rows split across the two processes (row-major layout).
+        rows_per_proc = DATA // 2
+        local_rows = list(range(rows_per_proc * pid,
+                                rows_per_proc * (pid + 1)))
+    else:
+        # Single data row replicated over a cross-process model axis:
+        # both processes feed the same row.
+        local_rows = [0]
     loss = run_step(mesh, local_rows)
     print(f"WORKER{pid} LOSS {loss:.8f}", flush=True)
 
