@@ -1283,7 +1283,8 @@ def composite_tiles_pallas_fused(proj, colors, opacities, tile0,
                                  precision: str = "f32",
                                  slice0=0, slice_size=None):
     """Fused-binning strip compositor for the sharded main pass: same
-    contract as composite_tiles_pallas (accum (n_tiles, PIX, C), alpha
+    contract as the removed non-fused strip path (accum (n_tiles, PIX,
+    C), alpha
     (n_tiles, PIX)) plus the bins, but with the feature stream riding the
     binning sorts instead of the per-pair row gather.
 
