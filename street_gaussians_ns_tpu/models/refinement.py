@@ -153,7 +153,7 @@ def refine(
     # Parents past the budget are counted in children_dropped — the same
     # fixed-capacity drop semantics the slot budget already had.
     nsamps = config.n_split_samples
-    capp = min(cap, max(256, cap // 16))
+    capp = min(cap, max(256, cap // config.refine_parent_cap_div))
     parent_has = splits | dups
     order = jax.lax.sort(
         ((~parent_has).astype(jnp.int32), jnp.arange(cap, dtype=jnp.int32)),

@@ -67,6 +67,14 @@ class SplatfactoConfig:
     block_width: int = 16
     # Fixed-capacity store size (ours; the torch reference reallocates).
     capacity: int = 2 ** 20
+    # Parent-compaction budget for one refine pass: at most
+    # max(256, capacity // refine_parent_cap_div) split/dup parents
+    # produce children per pass (models.refinement.refine). Parents past
+    # the budget neither spawn nor die — they retry next pass. The
+    # torch reference has no such budget (it reallocates); the budget is
+    # what keeps the XLA scatter input small (element-serial TPU
+    # scatter). 16 keeps bench-scale refine ~74 ms at 1M capacity.
+    refine_parent_cap_div: int = 16
 
 
 def sh_colors(

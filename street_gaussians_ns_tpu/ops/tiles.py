@@ -507,6 +507,36 @@ def bin_and_pack(
     return bins, feats
 
 
+def count_pairs(
+    proj: Projected,
+    width: int,
+    height: int,
+    tile_size: int,
+    opacities: jax.Array | None = None,
+):
+    """Capacity-free exact (num_pairs, num_rowruns) for one camera.
+
+    The counts are order-independent (a pure per-gaussian row sum), so no
+    depth sort and NO static pair/rowrun capacity is needed — this is the
+    trainer's pre-sizing probe (round 5): one tiny jit program per camera
+    resolution sizes max_pairs/max_rowruns BEFORE the expensive step
+    program compiles, so a 30k-step run pays O(1) growth recompiles
+    instead of chasing densification up the capacity ladder."""
+    from ..core.projection import coverage_q
+
+    nty = (height + tile_size - 1) // tile_size
+    n = proj.depths.shape[0]
+    visible = proj.num_tiles_hit > 0
+    op_col = (opacities.astype(jnp.float32) if opacities is not None
+              else jnp.ones((n,), jnp.float32))
+    first, last, cnt = _row_trim_counts(
+        proj.conics, proj.xys, proj.tile_box.astype(jnp.int32), tile_size,
+        nty, q=coverage_q(op_col))
+    nz = visible & (cnt > 0)
+    rowruns = jnp.where(nz, last - first + 1, 0)
+    return jnp.sum(jnp.where(nz, cnt, 0)), jnp.sum(rowruns)
+
+
 def bin_gaussians(
     proj: Projected,
     width: int,
