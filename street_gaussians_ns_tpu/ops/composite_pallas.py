@@ -807,10 +807,38 @@ def _reduce_pair_grads(gpair: jax.Array, bins: TileBins,
     return jnp.stack(out[1:], axis=-1)
 
 
+def _unsort_rank_sums(rank_sums, depth_order):
+    """(10, N) depth-rank sums -> (N, 10) original-order gradients:
+    sorting depth_order with the sums as payloads IS the inverse
+    permutation (unique keys, stability irrelevant). On TPU the 10
+    columns ride as 5 bf16 pairs (GRAD_PACK_BF16 policy — per-pair
+    values were already bf16-rounded upstream)."""
+    ng = rank_sums.shape[0]
+    if GRAD_PACK_BF16 and (
+            jax.default_backend() == "tpu" or GRAD_PACK_BF16 == "force"):
+        from .packing import pack2, unpack2
+
+        pk = [pack2(rank_sums[2 * j], rank_sums[2 * j + 1])
+              for j in range(5)]
+        out = jax.lax.sort((depth_order,) + tuple(pk), num_keys=1,
+                           is_stable=False)
+        cols = []
+        for j in range(5):
+            a, b = unpack2(out[1 + j])
+            cols += [a, b]
+        return jnp.stack(cols, axis=-1)
+    out = jax.lax.sort(
+        (depth_order,) + tuple(rank_sums[j] for j in range(ng)),
+        num_keys=1, is_stable=False)
+    return jnp.stack(out[1:], axis=-1)
+
+
 def _reduce_pair_grads_ranked(gpair: jax.Array, starts: jax.Array,
                               nbwd: jax.Array, num_pairs: jax.Array,
                               depth_order: jax.Array, num_gaussians: int,
-                              interpret: bool = False) -> jax.Array:
+                              interpret: bool = False, rank0: int = 0,
+                              out_size: int | None = None,
+                              unsort: bool = True) -> jax.Array:
     """Rank-keyed gradient reduction for the fused path.
 
     gpair rows 0..9 are the 10 per-pair gradient columns and row 10 the
@@ -834,11 +862,22 @@ def _reduce_pair_grads_ranked(gpair: jax.Array, starts: jax.Array,
          contraction into (10, N) depth-rank sums.
       4. rank -> original order: sorting depth_order with the sums as
          payloads IS the inverse permutation.
+
+    Depth-slice mode (round 5): when the caller binned a depth-rank
+    window [rank0, rank0+out_size) — the single-chip depth-slice
+    decomposition — the threaded ranks are GLOBAL; `rank0`/`out_size`
+    shift them into the window and size the rank_rowsum output to the
+    slice, and `unsort=False` returns the (10, out_size) f32 rank-space
+    sums so the caller concatenates the slices and pays step 4's full-N
+    un-sort ONCE. Dead all-zero rows carry rank 0 -> shifted negative
+    (or 0 for the first slice), contributing exact zeros either way.
     """
     from .segreduce_pallas import rank_rowsum
 
     nrows = gpair.shape[0]
     ng = 10
+    if out_size is None:
+        out_size = num_gaussians
     # Compaction-cap LADDER: the rank sort dominates the reduce and
     # lax.sort is superlinear in rows (~P^1.64, tools/bench_sort_ops.py),
     # so sorting the tightest level the live set fits is a direct win.
@@ -877,7 +916,12 @@ def _reduce_pair_grads_ranked(gpair: jax.Array, starts: jax.Array,
 
     def reduce_rows(rows3):
         p_len = rows3.shape[0] * K
-        rank = rows3[:, 10, :].reshape(-1).astype(jnp.int32)
+        # Shift global ranks into the slice window; clip into rank_rowsum's
+        # [0, out_size] contract (out_size = discard bucket). Out-of-window
+        # values only occur on DEAD rows (all-zero grads: the rank-0 dead
+        # fill and the sentinel-n pad), so clipping is exact.
+        rank = jnp.clip(rows3[:, 10, :].reshape(-1).astype(jnp.int32)
+                        - rank0, 0, out_size)
         if GRAD_PACK_BF16 and (
                 jax.default_backend() == "tpu" or GRAD_PACK_BF16 == "force"):
             u = jax.lax.bitcast_convert_type(
@@ -907,7 +951,7 @@ def _reduce_pair_grads_ranked(gpair: jax.Array, starts: jax.Array,
                 num_keys=1, is_stable=False)
             rank_s, rows_cm = srt[0], list(srt[1:])
         rows11 = jnp.stack(rows_cm + [rank_s.astype(jnp.float32)])
-        return rank_rowsum(rows11, rank_s, num_gaussians, interpret)
+        return rank_rowsum(rows11, rank_s, out_size, interpret)
 
     def level(i):
         """Nested conds over the cap ladder; the final else is the
@@ -921,28 +965,9 @@ def _reduce_pair_grads_ranked(gpair: jax.Array, starts: jax.Array,
             level(i + 1), g)
 
     rank_sums = level(0)(gpair)
-    # rank -> original order; depth_order is a permutation (unique keys):
-    # stability irrelevant. On TPU the 10 per-gaussian sum columns ride
-    # as 5 bf16 pairs (same policy as GRAD_PACK_BF16 — per-pair values
-    # already rounded to bf16 upstream, so this adds ~2^-8 once more on
-    # the SUMS; tests compare the f32 path).
-    if GRAD_PACK_BF16 and (
-            jax.default_backend() == "tpu" or GRAD_PACK_BF16 == "force"):
-        from .packing import pack2, unpack2
-
-        pk = [pack2(rank_sums[2 * j], rank_sums[2 * j + 1])
-              for j in range(5)]
-        out = jax.lax.sort((depth_order,) + tuple(pk), num_keys=1,
-                           is_stable=False)
-        cols = []
-        for j in range(5):
-            a, b = unpack2(out[1 + j])
-            cols += [a, b]
-        return jnp.stack(cols, axis=-1)
-    out = jax.lax.sort(
-        (depth_order,) + tuple(rank_sums[j] for j in range(ng)),
-        num_keys=1, is_stable=False)
-    return jnp.stack(out[1:], axis=-1)
+    if not unsort:
+        return rank_sums
+    return _unsort_rank_sums(rank_sums, depth_order)
 
 
 GT_FWD = 4      # tiles per forward grid step (amortizes the ~0.5 us/tile
@@ -1085,26 +1110,26 @@ def _rasterize_pallas_fwd(xys, conics, colors, opacities, bins,
     return (img, alpha), residuals
 
 
-def _rasterize_pallas_bwd(width, height, num_gaussians, interpret,
-                          residuals, cotangents, ranked: bool = False):
-    (bins, feat, accum, tfin, ncon) = residuals
-    g_img, g_alpha = cotangents
+def _img_to_tiles(img, c, ntx, nty, width, height):
+    pad_h = nty * TILE - height
+    pad_w = ntx * TILE - width
+    img = jnp.pad(img.reshape(height, width, c),
+                  ((0, pad_h), (0, pad_w), (0, 0)))
+    return img.reshape(nty, TILE, ntx, TILE, c).transpose(
+        0, 2, 1, 3, 4).reshape(ntx * nty, PIX, c)
+
+
+def _bwd_from_tiles(bins, feat, accum, tfin, ncon, g_accum, g_t,
+                    num_gaussians, interpret, ranked=False, rank0=0,
+                    out_size=None, unsort=True):
+    """Backward from TILE-LAYOUT cotangents (g_accum (T,PIX,C) = dL/d
+    premultiplied accum, g_t (T,PIX) = dL/dT_final): kernel replay +
+    pair-grad reduction. The sliced path calls this per depth slice with
+    the slice's merge cotangents and unsort=False (rank-space sums)."""
     ntx, nty = bins.num_tiles_x, bins.num_tiles_y
     num_tiles = ntx * nty
     nc = accum.shape[-1]
     max_pairs = bins.gauss_idx.shape[0]
-
-    def to_tiles(img, c):
-        pad_h = nty * TILE - height
-        pad_w = ntx * TILE - width
-        img = jnp.pad(img.reshape(height, width, c),
-                      ((0, pad_h), (0, pad_w), (0, 0)))
-        return img.reshape(nty, TILE, ntx, TILE, c).transpose(
-            0, 2, 1, 3, 4).reshape(num_tiles, PIX, c)
-
-    g_accum = to_tiles(g_img, nc)
-    # alpha_out = 1 - T_final  =>  dL/dT_final = -g_alpha.
-    g_t = -to_tiles(g_alpha, 1)[..., 0]
     gdotacc = jnp.sum(g_accum * accum, axis=-1)
     gaux = jnp.concatenate([
         g_accum.transpose(0, 2, 1),
@@ -1122,11 +1147,24 @@ def _rasterize_pallas_bwd(width, height, num_gaussians, interpret,
                       nc, gaux, interpret, with_rank=ranked)
 
     if ranked:
-        seg = _reduce_pair_grads_ranked(
+        return _reduce_pair_grads_ranked(
             gpair, bins.tile_start, nchunks_bwd, bins.num_pairs,
-            bins.depth_order, num_gaussians, interpret)
-    else:
-        seg = _reduce_pair_grads(gpair, bins, num_gaussians, nc, interpret)
+            bins.depth_order, num_gaussians, interpret, rank0=rank0,
+            out_size=out_size, unsort=unsort)
+    return _reduce_pair_grads(gpair, bins, num_gaussians, nc, interpret)
+
+
+def _rasterize_pallas_bwd(width, height, num_gaussians, interpret,
+                          residuals, cotangents, ranked: bool = False):
+    (bins, feat, accum, tfin, ncon) = residuals
+    g_img, g_alpha = cotangents
+    ntx, nty = bins.num_tiles_x, bins.num_tiles_y
+    nc = accum.shape[-1]
+    g_accum = _img_to_tiles(g_img, nc, ntx, nty, width, height)
+    # alpha_out = 1 - T_final  =>  dL/dT_final = -g_alpha.
+    g_t = -_img_to_tiles(g_alpha, 1, ntx, nty, width, height)[..., 0]
+    seg = _bwd_from_tiles(bins, feat, accum, tfin, ncon, g_accum, g_t,
+                          num_gaussians, interpret, ranked=ranked)
     g_xys = seg[:, 0:2]
     g_conics = seg[:, 2:5]
     g_opac = seg[:, 5]
@@ -1429,6 +1467,161 @@ def _fused_bwd(width, height, max_pairs, max_rowruns, interpret,
 rasterize_pallas_fused_core.defvjp(_fused_fwd, _fused_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Single-chip depth-slice decomposition (round 5).
+#
+# The pair sort and the gradient reduce's rank sort are SUPERLINEAR in
+# rows (~P^1.64, tools/bench_sort_ops.py), so slicing the depth-ordered
+# gaussians into k contiguous rank windows and binning/compositing each
+# slice separately costs k * (P/k)^1.64 ~= k^-0.64 of the monolithic
+# sorts (~0.41x at k=4) while every other pair-shaped cost stays the
+# same total. Because the slices partition the GLOBAL depth-rank order,
+# per-slice (accum, T) layers composite exactly in depth order via the
+# associative over operator (C, T) |> (C', T') = (C + T*C', T*T') — the
+# same merge the model-sharded path proves exact across devices
+# (parallel.sharded._combine_layers); here the slices run sequentially
+# on one chip. The full-N depth sort and the final gradient un-sort are
+# paid ONCE (the slice loop reuses ops.tiles._depth_sort_cols /
+# _bin_sorted and concatenates rank-space gradient sums).
+# ---------------------------------------------------------------------------
+
+
+def _slice_caps(max_pairs, max_rowruns, n_slices):
+    if max_rowruns is None:
+        max_rowruns = max_pairs // 2
+    mp = (-(-max_pairs // n_slices) + 8191) // 8192 * 8192
+    mr = (-(-max_rowruns // n_slices) + 8191) // 8192 * 8192
+    return mp, mr
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
+def rasterize_pallas_sliced_core(xys, conics, colors, opacities,
+                                 depth_key, tile_box,
+                                 width: int, height: int, max_pairs: int,
+                                 max_rowruns, n_slices: int,
+                                 interpret: bool = False,
+                                 last_color_is_depth: bool = False,
+                                 precision: str = "f32"):
+    """k-way depth-sliced variant of rasterize_pallas_fused_core (same
+    contract; max_pairs/max_rowruns are the TOTAL budgets, split evenly
+    across slices). The returned bins report num_pairs/num_rowruns as
+    the CAPACITY DEMAND — n_slices x the largest slice's true count
+    (>= the true total; equal when slices balance) — so the host growth
+    rule keeps guaranteeing no slice ever drops pairs."""
+    out, _ = _sliced_fwd(xys, conics, colors, opacities, depth_key,
+                         tile_box, width, height, max_pairs, max_rowruns,
+                         n_slices, interpret, last_color_is_depth,
+                         precision)
+    return out
+
+
+def _sliced_fwd(xys, conics, colors, opacities, depth_key, tile_box,
+                width, height, max_pairs, max_rowruns, n_slices,
+                interpret, last_color_is_depth, precision):
+    from .tiles import TileBins, _bin_sorted, _depth_sort_cols
+
+    ntx = (width + TILE - 1) // TILE
+    nty = (height + TILE - 1) // TILE
+    num_tiles = ntx * nty
+    nc = colors.shape[-1]
+    mp_s, mr_s = _slice_caps(max_pairs, max_rowruns, n_slices)
+
+    cols, full_order, n = _depth_sort_cols(
+        xys, conics, tile_box, depth_key, colors.astype(jnp.float32),
+        opacities, ntx, nty, last_color_is_depth, precision)
+
+    base, rem = divmod(n, n_slices)
+    sizes = [base + (1 if i < rem else 0) for i in range(n_slices)]
+    start = 0
+    c_agg = jnp.zeros((num_tiles, PIX, nc), jnp.float32)
+    t_agg = jnp.ones((num_tiles, PIX), jnp.float32)
+    per_slice = []
+    for s in range(n_slices):
+        bins_s, feats_s = _bin_sorted(
+            cols, full_order, n, (start, sizes[s]), width, height, TILE,
+            mp_s, mr_s, interpret, False, precision)
+        feat_s = _pack_feat_cols(feats_s, mp_s, interpret=interpret)
+        accum_s, tfin_s, ncon_s = _fwd_call(
+            feat_s, bins_s.tile_start, bins_s.tile_count, ntx, num_tiles,
+            nc, interpret)
+        c_agg = c_agg + t_agg[..., None] * accum_s
+        t_agg = t_agg * tfin_s
+        per_slice.append((bins_s, feat_s, accum_s, tfin_s, ncon_s,
+                          start, sizes[s]))
+        start += sizes[s]
+
+    img = _tiles_to_image(c_agg, ntx, nty, width, height)
+    alpha = 1.0 - _tiles_to_image(t_agg, ntx, nty, width, height)
+
+    b0 = per_slice[0][0]
+    demand_p = n_slices * jnp.max(
+        jnp.stack([ps[0].num_pairs for ps in per_slice]))
+    demand_r = n_slices * jnp.max(
+        jnp.stack([ps[0].num_rowruns for ps in per_slice]))
+    tile_count = sum(ps[0].tile_count for ps in per_slice)
+    bins_pub = TileBins(
+        gauss_idx=b0.gauss_idx, pair_valid=b0.pair_valid,
+        tile_start=b0.tile_start, tile_count=tile_count,
+        num_pairs=demand_p, num_rowruns=demand_r,
+        exp_slot=b0.exp_slot, depth_order=full_order,
+        exp_starts=b0.exp_starts, exp_counts=b0.exp_counts,
+        num_tiles_x=ntx, num_tiles_y=nty)
+    residuals = (tuple(per_slice), full_order, n)
+    return (img, alpha, bins_pub), residuals
+
+
+def _sliced_bwd(width, height, max_pairs, max_rowruns, n_slices,
+                interpret, last_color_is_depth, precision, residuals,
+                cotangents):
+    per_slice, full_order, n = residuals
+    g_img, g_alpha, _ = cotangents
+    b0 = per_slice[0][0]
+    ntx, nty = b0.num_tiles_x, b0.num_tiles_y
+    nc = per_slice[0][2].shape[-1]
+    g_c = _img_to_tiles(g_img, nc, ntx, nty, width, height)
+    g_t_total = -_img_to_tiles(g_alpha, 1, ntx, nty, width, height)[..., 0]
+
+    k = len(per_slice)
+    # Merge cotangents. With C = sum_s P_s C_s and T = prod_s T_s where
+    # P_s = prod_{j<s} T_j (prefix transmittance):
+    #   dL/dC_s = P_s * g_C
+    #   dL/dT_s = P_s * <S_s, g_C> + P_s * Q_s * g_T
+    # where S_s = the composite of slices BEHIND s in slice s+1's frame
+    # (S_s = C_{s+1} + T_{s+1} S_{s+1}) and Q_s = prod_{j>s} T_j.
+    prefix = []
+    acc = jnp.ones_like(per_slice[0][3])
+    for s in range(k):
+        prefix.append(acc)
+        acc = acc * per_slice[s][3]
+    behind = [None] * k
+    suffix = [None] * k
+    behind[k - 1] = jnp.zeros_like(per_slice[0][2])
+    suffix[k - 1] = jnp.ones_like(acc)
+    for s in range(k - 2, -1, -1):
+        behind[s] = (per_slice[s + 1][2]
+                     + per_slice[s + 1][3][..., None] * behind[s + 1])
+        suffix[s] = per_slice[s + 1][3] * suffix[s + 1]
+
+    sums = []
+    for s in range(k):
+        bins_s, feat_s, accum_s, tfin_s, ncon_s, start, size = per_slice[s]
+        g_accum_s = prefix[s][..., None] * g_c
+        g_t_s = (prefix[s] * jnp.sum(behind[s] * g_c, axis=-1)
+                 + g_t_total * prefix[s] * suffix[s])
+        sums.append(_bwd_from_tiles(
+            bins_s, feat_s, accum_s, tfin_s, ncon_s, g_accum_s, g_t_s,
+            n, interpret, ranked=True, rank0=start, out_size=size,
+            unsort=False))
+    rank_sums = jnp.concatenate(sums, axis=1)            # (10, n)
+    seg = _unsort_rank_sums(rank_sums, full_order)
+    return (seg[:, 0:2], seg[:, 2:5], seg[:, 6:6 + nc], seg[:, 5],
+            jnp.zeros((n,), jnp.float32), jnp.zeros((n, 4), jnp.float32))
+
+
+rasterize_pallas_sliced_core.defvjp(_sliced_fwd, _sliced_bwd)
+
+
 def rasterize_tiles_pallas_fused(
     proj,
     colors: jax.Array,
@@ -1442,16 +1635,29 @@ def rasterize_tiles_pallas_fused(
     interpret: bool = False,
     last_color_is_depth: bool = False,
     precision: str = "f32",
+    depth_slices: int = 1,
 ):
-    """Production bin+composite: returns (img, alpha, bins)."""
+    """Production bin+composite: returns (img, alpha, bins).
+
+    depth_slices > 1 runs the single-chip depth-slice decomposition
+    (k sequential rank windows, exact over-operator layer merge) — same
+    outputs, superlinearly cheaper pair/rank sorts."""
     assert tile_size == TILE, "Pallas kernel is specialized to 16x16 tiles"
     depth_key = jax.lax.stop_gradient(
         jnp.where(proj.num_tiles_hit > 0, proj.depths, jnp.inf))
     # tile_box rides as f32 (exact small ints) so its zero cotangent is
     # dtype-legal; bin_and_pack re-casts to int32.
-    img, alpha, bins = rasterize_pallas_fused_core(
-        proj.xys, proj.conics, colors.astype(jnp.float32), opacities,
-        depth_key, proj.tile_box.astype(jnp.float32), width, height,
-        max_pairs, max_rowruns, interpret, last_color_is_depth, precision)
+    if depth_slices > 1:
+        img, alpha, bins = rasterize_pallas_sliced_core(
+            proj.xys, proj.conics, colors.astype(jnp.float32), opacities,
+            depth_key, proj.tile_box.astype(jnp.float32), width, height,
+            max_pairs, max_rowruns, depth_slices, interpret,
+            last_color_is_depth, precision)
+    else:
+        img, alpha, bins = rasterize_pallas_fused_core(
+            proj.xys, proj.conics, colors.astype(jnp.float32), opacities,
+            depth_key, proj.tile_box.astype(jnp.float32), width, height,
+            max_pairs, max_rowruns, interpret, last_color_is_depth,
+            precision)
     img = img + (1.0 - alpha[..., None]) * background[None, None, :]
     return img, alpha, bins

@@ -56,6 +56,14 @@ class RenderConfig:
     #                                step; ~2^-8 relative rounding —
     #                                sub-1e-2 on rendered RGB). xy and
     #                                ordering stay exact in both modes.
+    depth_slices: int = 1          # >1: single-chip depth-slice
+    #                                decomposition (Pallas fused path
+    #                                only) — k sequential depth-rank
+    #                                windows merged by the exact over
+    #                                operator; the superlinear pair/rank
+    #                                sorts run per-slice (~k^-0.64 of
+    #                                monolithic). max_pairs/max_rowruns
+    #                                stay the TOTAL budgets.
 
 
 @jax.tree_util.register_dataclass
@@ -88,7 +96,8 @@ def rasterize(
             config.tile_size, background, config.max_pairs,
             config.max_rowruns, interpret=config.interpret,
             last_color_is_depth=last_color_is_depth,
-            precision=config.precision)
+            precision=config.precision,
+            depth_slices=config.depth_slices)
         return img, alpha, bins
     if bins is None:
         bins = bin_gaussians(proj, camera.width, camera.height,

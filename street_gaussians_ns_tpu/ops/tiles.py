@@ -212,16 +212,26 @@ def bin_and_pack(
     backward replay all see the same (rounded) values — the pipeline
     remains self-consistent, merely quantized (~2^-8 relative on alpha
     curvature and colors; sub-1e-2 on rendered RGB)."""
-    from ..core.projection import row_tile_range
-    from .expand_pallas import expand_ragged
-    from .scan_pallas import cumsum_flat
-
     ntx = (width + tile_size - 1) // tile_size
     nty = (height + tile_size - 1) // tile_size
-    num_tiles = ntx * nty
     if max_rowruns is None:
         max_rowruns = max_pairs // 2
+    cols, full_order, n = _depth_sort_cols(
+        xys, conics, tile_box, depth_key, colors, opacities, ntx, nty,
+        last_color_is_depth, precision)
+    return _bin_sorted(cols, full_order, n, depth_slice, width, height,
+                       tile_size, max_pairs, max_rowruns, interpret,
+                       with_gauss_idx, precision)
 
+
+def _depth_sort_cols(xys, conics, tile_box, depth_key, colors, opacities,
+                     ntx, nty, last_color_is_depth, precision):
+    """Phase 1 of bin_and_pack: the full-N depth sort with every
+    per-gaussian column riding as payload. Returns (cols, full_order, n)
+    where cols is the 16-tuple of depth-ordered columns
+    (dk, idx, x, y, ca, cb, cc, op, x0, x1, y0, y1, f0, f1, f2, f3).
+    Split out (round 5) so the single-chip depth-slice decomposition and
+    the model-sharded path can pay this ONCE and bin k slices from it."""
     n = depth_key.shape[0]
     nc = colors.shape[-1]
     assert nc <= 4
@@ -305,12 +315,34 @@ def bin_and_pack(
         y1_s = bx & 0xFF
     else:
         x0_s, x1_s, y0_s, y1_s = c_s[2 + n_attr:6 + n_attr]
+    return ((dk_s, idx_s, x_s, y_s, ca_s, cb_s, cc_s, op_s,
+             x0_s, x1_s, y0_s, y1_s, f0_s, f1_s, f2_s, f3_s), idx_s, n)
+
+
+def _bin_sorted(cols, full_order, n, depth_slice, width, height,
+                tile_size, max_pairs, max_rowruns, interpret,
+                with_gauss_idx, precision):
+    """Phase 2 of bin_and_pack: slice window -> row trim -> two ragged
+    expansions -> pair sort -> tile ranges, all sized by the caller's
+    max_rowruns/max_pairs. `cols` comes from _depth_sort_cols; the bf16
+    rounding is already baked into the column VALUES there — `precision`
+    here only selects the expansion kernels' exact-prefix split and the
+    pair sort's packed payload layout."""
+    from ..core.projection import coverage_q, row_tile_range
+    from .expand_pallas import expand_ragged
+    from .scan_pallas import cumsum_flat
+
+    ntx = (width + tile_size - 1) // tile_size
+    nty = (height + tile_size - 1) // tile_size
+    num_tiles = ntx * nty
+    (dk_s, idx_s, x_s, y_s, ca_s, cb_s, cc_s, op_s,
+     x0_s, x1_s, y0_s, y1_s, f0_s, f1_s, f2_s, f3_s) = cols
+    bf16 = precision == "bf16"
 
     # Model-sharded slice: keep the FULL depth order (the gradient
     # reduce's final un-sort needs it), then restrict every per-gaussian
     # column to the slice's depth-rank window. dynamic_slice (static
     # size, traced start) — each shard_map device passes its own start.
-    full_order = idx_s
     if depth_slice is not None:
         sl_start, sl_size = depth_slice
         sl_start = jnp.asarray(sl_start, jnp.int32)

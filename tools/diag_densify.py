@@ -59,69 +59,39 @@ def build_cfg(args):
     )
 
 
-def corridor_cams(n, w, h, fx, span=10.0, heldout_every=0):
-    """n cams along a forward corridor (Waymo-like ego motion): z from 0
-    to -span, lateral wiggle, small yaw. Returns (train, heldout) lists."""
-    cams = []
-    for i in range(n):
-        t = i / max(n - 1, 1)
-        dz = -span * t
-        dx = 0.8 * np.sin(2.1 * np.pi * t + 0.3)
-        yaw = 0.03 * np.sin(3.7 * np.pi * t)
-        c, s = np.cos(yaw), np.sin(yaw)
-        c2w = jnp.asarray([[c, 0.0, s, dx], [0.0, 1.0, 0.0, 0.0],
-                           [-s, 0.0, c, dz]], jnp.float32)
-        cams.append(Camera.make(fx, fx, w / 2, h / 2, c2w, w, h))
-    if heldout_every <= 0:
-        return cams, []
-    train = [c for i, c in enumerate(cams) if (i % heldout_every) != heldout_every // 2]
-    held = [c for i, c in enumerate(cams) if (i % heldout_every) == heldout_every // 2]
-    return train, held
-
-
-def procedural_sky(cam, w, h):
-    """Smooth directional sky: horizon gradient + a sun blob. Pure
-    function of ray direction, so it is exactly representable by a
-    cubemap — the honest analogue of real sky content."""
-    dirs = pixel_directions(cam)                      # (H, W, 3) world
-    d = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-    up = jnp.clip(d[..., 1], -1.0, 1.0)
-    sun_dir = jnp.asarray([0.35, 0.55, -0.75])
-    sun_dir = sun_dir / jnp.linalg.norm(sun_dir)
-    sun = jnp.exp(60.0 * (jnp.einsum("hwc,c->hw", d, sun_dir) - 1.0))
-    base = (jnp.asarray([0.45, 0.62, 0.85])[None, None]
-            + up[..., None] * jnp.asarray([-0.15, -0.10, 0.10])[None, None])
-    return jnp.clip(base + sun[..., None] * jnp.asarray([1.0, 0.9, 0.7]), 0.0, 1.0)
-
-
 def build_protocol(args, rcfg_gt):
     """GT scene + train/heldout targets. Returns (batches, train_cams,
-    heldout, seeds)."""
+    heldout, seeds). The street scene delegates to the shared builder
+    (tools.synth_street.street_protocol — the same one the heldout bench
+    uses); the cloud scene reproduces the r4 protocol for A/B."""
+    from tools.synth_street import corridor_cams, street_protocol
+
     w, h = args.res
     if args.scene == "street":
-        from tools.synth_street import make_street_scene
-        gt_means, gt_scales, gt_quats, gt_opac, gt_rgbs = [
-            jnp.asarray(x) for x in make_street_scene(args.gt, seed=11)]
-    else:
-        gt_means, gt_scales, gt_quats, gt_opac, gt_rgbs = make_scene(
-            args.gt, seed=11)
-        gt_scales = gt_scales * 1.6
-        gt_opac = jnp.minimum(gt_opac * 1.4, 0.99)
-        kp, kp2, key0 = jax.random.split(jax.random.PRNGKey(17), 3)
-        wpal = jax.random.normal(kp, (3, 3)) * 0.35
-        wpal2 = jax.random.normal(kp2, (3, 3)) * 1.4
-        smooth = (0.5 * jax.nn.sigmoid(gt_means @ wpal.T
-                                       + jnp.asarray([0.2, -0.1, 0.3]))
-                  + 0.25 + 0.25 * jnp.sin(gt_means @ wpal2.T))
-        if args.gt_colors == "splatnoise":    # r4 protocol: 45% iid/splat
-            gt_rgbs = jnp.clip(0.55 * smooth + 0.45 * gt_rgbs, 0.0, 1.0)
-        else:                                 # positional: fittable
-            k3, k4 = jax.random.split(key0)
-            whf = jax.random.normal(k3, (3, 3)) * 6.0
-            whf2 = jax.random.normal(k4, (3, 3)) * 17.0
-            hf = 0.22 * jnp.sin(gt_means @ whf.T) + 0.12 * jnp.sin(
-                gt_means @ whf2.T + 1.1)
-            gt_rgbs = jnp.clip(0.72 * smooth + hf + 0.08 * gt_rgbs, 0.0, 1.0)
+        return street_protocol(args.gt, args.seeds, w, h, args.fx,
+                               views=args.views, span=args.span,
+                               sigma=args.sigma, rcfg_gt=rcfg_gt,
+                               sky=args.sky)
+
+    gt_means, gt_scales, gt_quats, gt_opac, gt_rgbs = make_scene(
+        args.gt, seed=11)
+    gt_scales = gt_scales * 1.6
+    gt_opac = jnp.minimum(gt_opac * 1.4, 0.99)
+    kp, kp2, key0 = jax.random.split(jax.random.PRNGKey(17), 3)
+    wpal = jax.random.normal(kp, (3, 3)) * 0.35
+    wpal2 = jax.random.normal(kp2, (3, 3)) * 1.4
+    smooth = (0.5 * jax.nn.sigmoid(gt_means @ wpal.T
+                                   + jnp.asarray([0.2, -0.1, 0.3]))
+              + 0.25 + 0.25 * jnp.sin(gt_means @ wpal2.T))
+    if args.gt_colors == "splatnoise":        # r4 protocol: 45% iid/splat
+        gt_rgbs = jnp.clip(0.55 * smooth + 0.45 * gt_rgbs, 0.0, 1.0)
+    else:                                     # positional: fittable
+        k3, k4 = jax.random.split(key0)
+        whf = jax.random.normal(k3, (3, 3)) * 6.0
+        whf2 = jax.random.normal(k4, (3, 3)) * 17.0
+        hf = 0.22 * jnp.sin(gt_means @ whf.T) + 0.12 * jnp.sin(
+            gt_means @ whf2.T + 1.1)
+        gt_rgbs = jnp.clip(0.72 * smooth + hf + 0.08 * gt_rgbs, 0.0, 1.0)
 
     def render_gt(cam):
         out = render(gt_means, gt_scales, gt_quats, gt_opac, gt_rgbs, cam,
@@ -142,25 +112,15 @@ def build_protocol(args, rcfg_gt):
     batches = []
     for cam in train_cams:
         clean, acc = rgt(cam)
-        sem = None
-        if args.sky == "masked":
-            skyimg = procedural_sky(cam, w, h)
-            clean = clean + (1.0 - acc[..., None]) * skyimg
-            sem = (acc < 0.15).astype(jnp.int32)[..., None] * 2
         kg, kn, key = jax.random.split(key, 3)
         gain = 1.0 + 0.03 * jax.random.uniform(kg, (), minval=-1.0, maxval=1.0)
         noisy = jnp.clip(clean * gain
                          + args.sigma * jax.random.normal(kn, clean.shape),
                          0.0, 1.0)
-        b = {"image": noisy}
-        if sem is not None:
-            b["semantic"] = sem
-        batches.append(b)
+        batches.append({"image": noisy})
     heldout = []
     for cam in held_cams:
         clean, acc = rgt(cam)
-        if args.sky == "masked":
-            clean = clean + (1.0 - acc[..., None]) * procedural_sky(cam, w, h)
         heldout.append((cam, jnp.clip(clean, 0.0, 1.0)))
     jax.block_until_ready(heldout[0][1])
 

@@ -24,6 +24,132 @@ from __future__ import annotations
 import numpy as np
 
 
+def corridor_cams(n, w, h, fx, span=10.0, heldout_every=0):
+    """n cams along a forward corridor (Waymo-like ego motion): z from 0
+    to -span, lateral wiggle, small yaw. heldout_every>0 interleaves
+    held-out cams (the reference's eval-interval split quirk,
+    sgn_dataparser.py). Returns (train, heldout) camera lists."""
+    import jax.numpy as jnp
+
+    from street_gaussians_ns_tpu.core.cameras import Camera
+
+    cams = []
+    for i in range(n):
+        t = i / max(n - 1, 1)
+        dz = -span * t
+        dx = 0.8 * np.sin(2.1 * np.pi * t + 0.3)
+        yaw = 0.03 * np.sin(3.7 * np.pi * t)
+        c, s = np.cos(yaw), np.sin(yaw)
+        c2w = jnp.asarray([[c, 0.0, s, dx], [0.0, 1.0, 0.0, 0.0],
+                           [-s, 0.0, c, dz]], jnp.float32)
+        cams.append(Camera.make(fx, fx, w / 2, h / 2, c2w, w, h))
+    if heldout_every <= 0:
+        return cams, []
+    k = heldout_every
+    train = [c for i, c in enumerate(cams) if (i % k) != k // 2]
+    held = [c for i, c in enumerate(cams) if (i % k) == k // 2]
+    return train, held
+
+
+def procedural_sky(dirs):
+    """Smooth directional sky (horizon gradient + sun blob) for ray dirs
+    (..., 3). Pure function of direction => exactly representable by a
+    cubemap — the honest analogue of real sky content."""
+    import jax.numpy as jnp
+
+    d = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    up = jnp.clip(d[..., 1], -1.0, 1.0)
+    sun_dir = jnp.asarray([0.35, 0.55, -0.75])
+    sun_dir = sun_dir / jnp.linalg.norm(sun_dir)
+    sun = jnp.exp(60.0 * (jnp.einsum("...c,c->...", d, sun_dir) - 1.0))
+    base = (jnp.asarray([0.45, 0.62, 0.85])
+            + up[..., None] * jnp.asarray([-0.15, -0.10, 0.10]))
+    return jnp.clip(base + sun[..., None] * jnp.asarray([1.0, 0.9, 0.7]),
+                    0.0, 1.0)
+
+
+def street_protocol(n_gt, n_seed, w, h, fx, views, span, sigma, rcfg_gt,
+                    sky="masked", seed=11, rng_seed=42):
+    """Build the full convergence protocol over the street scene.
+
+    Returns (batches, train_cams, heldout, (seed_means, seed_colors)):
+      * batches[i]: {"image": noisy f32 (H,W,3), "semantic": (H,W,1) int}
+        for train view i (per-view gain ~U(1 +- 0.03), sensor noise
+        `sigma`, semantic sky mask where GT accumulation < 0.15 — the
+        reference's Waymo regime always has segs-derived sky masks
+        driving the sky_accumulation loss, sgn_splatfacto.py:1042-1094);
+      * heldout: list of (camera, clean target) — views interleaved along
+        the same corridor, never trained on;
+      * seeds: SfM-like — subsampled GT positions + 10 cm jitter, the
+        OBSERVED colors with sensor-ish noise (COLMAP points3D carry
+        image RGB).
+
+    All per-view prep runs as ONE jitted program per camera (render +
+    sky composite + mask + corruption) — eager per-op sky math over the
+    TPU tunnel cost minutes at bench scale.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from street_gaussians_ns_tpu.core.cameras import pixel_directions
+    from street_gaussians_ns_tpu.ops.render import render
+
+    gt_means, gt_scales, gt_quats, gt_opac, gt_rgbs = [
+        jnp.asarray(x) for x in make_street_scene(n_gt, seed=seed)]
+
+    def prep(cam, kg, kn):
+        out = render(gt_means, gt_scales, gt_quats, gt_opac, gt_rgbs, cam,
+                     rcfg_gt)
+        rgb = jnp.clip(out.rgb, 0.0, 1.0)
+        acc = out.accumulation.reshape(rgb.shape[0], rgb.shape[1])
+        sem = None
+        if sky == "masked":
+            skyimg = procedural_sky(pixel_directions(cam))
+            rgb = rgb + (1.0 - acc[..., None]) * skyimg
+            sem = (acc < 0.15).astype(jnp.int32)[..., None] * 2
+        gain = 1.0 + 0.03 * jax.random.uniform(kg, (), minval=-1.0,
+                                               maxval=1.0)
+        noisy = jnp.clip(rgb * gain + sigma * jax.random.normal(kn, rgb.shape),
+                         0.0, 1.0)
+        return noisy, jnp.clip(rgb, 0.0, 1.0), sem
+
+    jprep = jax.jit(prep)
+
+    n_held = max(views // 6, 1)
+    n_all = views + n_held
+    train_cams, held_cams = corridor_cams(
+        n_all, w, h, fx, span=span, heldout_every=max(n_all // n_held, 2))
+    if not held_cams:
+        held_cams = [train_cams.pop()]
+    train_cams = train_cams[:views]
+
+    key = jax.random.PRNGKey(rng_seed)
+    batches = []
+    for cam in train_cams:
+        kg, kn, key = jax.random.split(key, 3)
+        noisy, _, sem = jprep(cam, kg, kn)
+        b = {"image": noisy}
+        if sem is not None:
+            b["semantic"] = sem
+        batches.append(b)
+    heldout = []
+    for cam in held_cams:
+        kg, kn, key = jax.random.split(key, 3)
+        _, clean, _ = jprep(cam, kg, kn)
+        heldout.append((cam, clean))
+    import jax as _jax
+    _jax.block_until_ready(heldout[0][1])
+
+    kj, kc, key = jax.random.split(key, 3)
+    idx = jnp.arange(0, n_gt, n_gt // n_seed)[:n_seed]
+    seed_means = gt_means[idx] + 0.1 * jax.random.normal(kj, (n_seed, 3))
+    seed_colors = np.asarray(jnp.clip(
+        gt_rgbs[idx] + 0.05 * jax.random.normal(kc, (n_seed, 3)),
+        0.0, 1.0)) * 255.0
+    return batches, train_cams, heldout, (np.asarray(seed_means),
+                                          seed_colors)
+
+
 def _texture(p: np.ndarray, rs: np.ndarray) -> np.ndarray:
     """Deterministic multi-octave positional texture in [-0.34, 0.34]."""
     out = np.zeros((p.shape[0], 3), np.float32)
