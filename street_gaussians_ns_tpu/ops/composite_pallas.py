@@ -55,6 +55,7 @@ tests/test_pallas_composite.py, in interpret mode and compiled.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Tuple
 
@@ -219,8 +220,20 @@ def _load_chunk(buf, slot, phi):
 
 
 def _fwd_kernel(ntx_ref, starts_ref, counts_ref, feat_hbm,
-                out_ref, ring, buf, state, sem_r,
-                sem, *, nc: int, gtiles: int = 1):
+                *rest, nc: int, gtiles: int = 1, with_tin: bool = False):
+    if with_tin:
+        tin_ref, out_ref, ring, buf, state, sem_r, sem = rest
+    else:
+        tin_ref = None
+        out_ref, ring, buf, state, sem_r, sem = rest
+    _fwd_kernel_body(ntx_ref, starts_ref, counts_ref, feat_hbm, tin_ref,
+                     out_ref, ring, buf, state, sem_r, sem, nc=nc,
+                     gtiles=gtiles)
+
+
+def _fwd_kernel_body(ntx_ref, starts_ref, counts_ref, feat_hbm, tin_ref,
+                     out_ref, ring, buf, state, sem_r,
+                     sem, *, nc: int, gtiles: int = 1):
     """state: VMEM (PIX, 8) scratch — columns [T, done, ncon, pad...].
     Loop state lives in scratch refs (the while carry holds only scalars):
     Mosaic cannot unify the vreg layouts of narrow (PIX, 1) vectors carried
@@ -310,8 +323,19 @@ def _fwd_kernel(ntx_ref, starts_ref, counts_ref, feat_hbm,
         # ints in f32). A single out_spec means ONE pipelined output DMA
         # per grid step.
         out_ref[g, 0:nc] = jnp.zeros((nc, PIX), jnp.float32)
-        state[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)    # T
-        state[:, 1:2] = jnp.zeros((PIX, 1), jnp.float32)   # done
+        if tin_ref is None:
+            state[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)    # T
+            state[:, 1:2] = jnp.zeros((PIX, 1), jnp.float32)   # done
+        else:
+            # CONTINUATION mode (depth-sliced composite, round 5): the
+            # transmittance chain starts from the incoming per-pixel T,
+            # so accum comes out GLOBALLY premultiplied, T_out is the
+            # global transmittance, and the monolithic kernel's
+            # per-pixel early termination applies across slices (the
+            # next_T <= T_EPS test sees the global product).
+            tin = tin_ref[0, g:g + 1, :].T                     # (PIX, 1)
+            state[:, 0:1] = tin
+            state[:, 1:2] = (tin <= T_EPS).astype(jnp.float32)
         state[:, 2:3] = jnp.zeros((PIX, 1), jnp.float32)   # n_contrib
 
         def cond(carry):
@@ -391,7 +415,8 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
                 feat_hbm, gaux_hbm, gpair_init_hbm,
                 gpair_hbm, ring, buf, gbuf, pend, ga_s, state,
                 sem_r, ga_sem, sem, gsem, *, nc: int,
-                with_rank: bool = False, gtiles: int = 1):
+                with_rank: bool = False, gtiles: int = 1,
+                with_tin: bool = False):
     """Forward-replay backward. Per-tile inputs (DMA'd to VMEM), both in
     channel-row form so PIX stays the lane-aligned minor dim:
     g_accum (C, PIX) cotangent of premultiplied accum; aux (4, PIX) packs
@@ -473,13 +498,14 @@ def _bwd_kernel(ntx_ref, starts_ref, counts_ref, nbwd_ref,
                   counts_ref, nbwd_ref, feat_hbm, gpair_hbm, ring, buf,
                   gbuf, pend, ga_s, state, sem_r, ga_sem, sem, gsem,
                   ga_dma, ring_dma, lane, kcol, ones_p, tri, ntx,
-                  nc=nc, with_rank=with_rank)
+                  nc=nc, with_rank=with_rank, with_tin=with_tin)
 
 
 def _bwd_tile(t, nt, nring, ntx_ref, starts_ref, counts_ref, nbwd_ref,
               feat_hbm, gpair_hbm, ring, buf, gbuf, pend, ga_s, state,
               sem_r, ga_sem, sem, gsem, ga_dma, ring_dma, lane, kcol,
-              ones_p, tri, ntx, *, nc: int, with_rank: bool):
+              ones_p, tri, ntx, *, nc: int, with_rank: bool,
+              with_tin: bool = False):
     """One tile's backward replay (the round-3 kernel body, factored so
     _bwd_kernel can unroll `gtiles` of these per grid step)."""
     start = starts_ref[t]
@@ -510,8 +536,17 @@ def _bwd_tile(t, nt, nring, ntx_ref, starts_ref, counts_ref, nbwd_ref,
     gdotacc = aux[:, 3:4]
 
     # Loop state in scratch (see _fwd_kernel): [T, done, prefix_u].
-    state[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
-    state[:, 1:2] = jnp.zeros((PIX, 1), jnp.float32)
+    if with_tin:
+        # Continuation replay (depth-sliced composite): the chain starts
+        # from the incoming per-pixel transmittance (gaux row nc+4), so
+        # T_before and the termination masks replay the GLOBAL forward
+        # recurrence exactly.
+        tin = ga_s[t % nring, nc + 4:nc + 5, :].T             # (PIX, 1)
+        state[:, 0:1] = tin
+        state[:, 1:2] = (tin <= T_EPS).astype(jnp.float32)
+    else:
+        state[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
+        state[:, 1:2] = jnp.zeros((PIX, 1), jnp.float32)
     state[:, 2:3] = jnp.zeros((PIX, 1), jnp.float32)
 
     def wait_gout(slot, c):
@@ -975,7 +1010,8 @@ GT_FWD = 4      # tiles per forward grid step (amortizes the ~0.5 us/tile
 
 
 def _fwd_call(feat, starts, counts, ntx, num_tiles: int, nc: int,
-              interpret: bool = False, tile0=0, gtiles: int = GT_FWD):
+              interpret: bool = False, tile0=0, gtiles: int = GT_FWD,
+              t_in=None):
     # Pad the tile arrays to a multiple of gtiles (end-of-pairs pad
     # starts — the uniform pad convention; fwd ignores pad starts since
     # count 0 skips all DMAs/writes except the sliced-away output rows).
@@ -985,12 +1021,26 @@ def _fwd_call(feat, starts, counts, ntx, num_tiles: int, nc: int,
         starts = jnp.concatenate([
             starts, jnp.full((tp - num_tiles,), 1, jnp.int32) * end])
         counts = jnp.pad(counts, (0, tp - num_tiles))
+        if t_in is not None:
+            t_in = jnp.pad(t_in, ((0, tp - num_tiles), (0, 0)),
+                           constant_values=1.0)
     nring = 2 * gtiles if gtiles > 1 else 4
-    kernel = functools.partial(_fwd_kernel, nc=nc, gtiles=gtiles)
+    kernel = functools.partial(_fwd_kernel, nc=nc, gtiles=gtiles,
+                               with_tin=t_in is not None)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    operands = [feat]
+    if t_in is not None:
+        # (steps, gtiles, PIX) so the block's trailing dims EQUAL the
+        # array's (Mosaic's (8, 128)-divisibility rule exempts
+        # whole-dimension blocks; gtiles < 8).
+        in_specs.append(pl.BlockSpec((1, gtiles, PIX),
+                                     lambda s, *_: (s, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(t_in.reshape(tp // gtiles, gtiles, PIX))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(tp // gtiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((gtiles, nc + 2, PIX),
                                lambda s, *_: (s, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -1009,7 +1059,8 @@ def _fwd_call(feat, starts, counts, ntx, num_tiles: int, nc: int,
                                        jnp.float32),
         interpret=interpret,
     )(jnp.stack([jnp.asarray(ntx, jnp.int32),
-                 jnp.asarray(tile0, jnp.int32)]), starts, counts, feat)
+                 jnp.asarray(tile0, jnp.int32)]), starts, counts,
+      *operands)
     out = out[:num_tiles]
     # (T, C, PIX) -> (T, PIX, C) outside the kernel (free in XLA).
     return (out[:, 0:nc].transpose(0, 2, 1), out[:, nc],
@@ -1022,7 +1073,7 @@ GT_BWD = 4      # tiles per backward grid step (see GT_FWD)
 def _bwd_call(feat, starts, counts, nbwd, gpair_rows: int, ntx,
               num_tiles: int, nc: int, gaux,
               interpret: bool = False, with_rank: bool = False, tile0=0,
-              gtiles: int = GT_BWD):
+              gtiles: int = GT_BWD, with_tin: bool = False):
     # Pad tile arrays to a multiple of gtiles. Pad starts MUST carry
     # end-of-pairs (the final boundary-row flush happens on the last PAD
     # tile at r_end = end // K — the same convention the strip pads use).
@@ -1035,8 +1086,13 @@ def _bwd_call(feat, starts, counts, nbwd, gpair_rows: int, ntx,
         nbwd = jnp.pad(nbwd, (0, tp - num_tiles))
         gaux = jnp.pad(gaux, ((0, tp - num_tiles), (0, 0), (0, 0)))
     nring = 2 * gtiles if gtiles > 1 else 4
+    # Mosaic DMA slices need the second-to-last dim 8-aligned: pad the
+    # per-tile aux block (nc+4 rows, +1 tin row in continuation mode).
+    n_aux = -(-(nc + 4 + (1 if with_tin else 0)) // 8) * 8
+    if gaux.shape[1] != n_aux:
+        gaux = jnp.pad(gaux, ((0, 0), (0, n_aux - gaux.shape[1]), (0, 0)))
     kernel = functools.partial(_bwd_kernel, nc=nc, with_rank=with_rank,
-                               gtiles=gtiles)
+                               gtiles=gtiles, with_tin=with_tin)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(tp // gtiles,),
@@ -1047,7 +1103,7 @@ def _bwd_call(feat, starts, counts, nbwd, gpair_rows: int, ntx,
             pltpu.VMEM((4, 2, NFEAT, K), jnp.float32),   # deep in buffer
             pltpu.VMEM((2, NFEAT, K), jnp.float32),
             pltpu.VMEM((NFEAT, K), jnp.float32),
-            pltpu.VMEM((nring, nc + 4, PIX), jnp.float32),  # gaux ring
+            pltpu.VMEM((nring, n_aux, PIX), jnp.float32),   # gaux ring
             pltpu.VMEM((PIX, 8), jnp.float32),
             pltpu.SemaphoreType.DMA((nring,)),
             pltpu.SemaphoreType.DMA((nring,)),
@@ -1121,20 +1177,24 @@ def _img_to_tiles(img, c, ntx, nty, width, height):
 
 def _bwd_from_tiles(bins, feat, accum, tfin, ncon, g_accum, g_t,
                     num_gaussians, interpret, ranked=False, rank0=0,
-                    out_size=None, unsort=True):
+                    out_size=None, unsort=True, t_in=None):
     """Backward from TILE-LAYOUT cotangents (g_accum (T,PIX,C) = dL/d
     premultiplied accum, g_t (T,PIX) = dL/dT_final): kernel replay +
     pair-grad reduction. The sliced path calls this per depth slice with
-    the slice's merge cotangents and unsort=False (rank-space sums)."""
+    the slice's merge cotangents and unsort=False (rank-space sums);
+    t_in is the slice's incoming per-pixel transmittance (continuation
+    replay — see _fwd_kernel with_tin)."""
     ntx, nty = bins.num_tiles_x, bins.num_tiles_y
     num_tiles = ntx * nty
     nc = accum.shape[-1]
     max_pairs = bins.gauss_idx.shape[0]
     gdotacc = jnp.sum(g_accum * accum, axis=-1)
-    gaux = jnp.concatenate([
-        g_accum.transpose(0, 2, 1),
-        jnp.stack([g_t, tfin, ncon.astype(jnp.float32), gdotacc],
-                  axis=1)], axis=1)                         # (T, nc+4, PIX)
+    aux_rows = [jnp.stack([g_t, tfin, ncon.astype(jnp.float32), gdotacc],
+                          axis=1)]
+    if t_in is not None:
+        aux_rows.append(t_in[:, None, :])
+    gaux = jnp.concatenate([g_accum.transpose(0, 2, 1)] + aux_rows,
+                           axis=1)                    # (T, nc+4[+1], PIX)
 
     # The backward only needs chunks up to the last contributing pair
     # (everything behind it has zero gradient); n_contrib bounds that.
@@ -1144,7 +1204,8 @@ def _bwd_from_tiles(bins, feat, accum, tfin, ncon, g_accum, g_t,
 
     gpair = _bwd_call(feat, bins.tile_start, bins.tile_count,
                       nchunks_bwd, max_pairs // K + 1, ntx, num_tiles,
-                      nc, gaux, interpret, with_rank=ranked)
+                      nc, gaux, interpret, with_rank=ranked,
+                      with_tin=t_in is not None)
 
     if ranked:
         return _reduce_pair_grads_ranked(
@@ -1519,7 +1580,8 @@ def rasterize_pallas_sliced_core(xys, conics, colors, opacities,
 def _sliced_fwd(xys, conics, colors, opacities, depth_key, tile_box,
                 width, height, max_pairs, max_rowruns, n_slices,
                 interpret, last_color_is_depth, precision):
-    from .tiles import TileBins, _bin_sorted, _depth_sort_cols
+    from .scan_pallas import cumsum_flat
+    from .tiles import TileBins, _bin_sorted, _depth_sort_cols, _trim_full
 
     ntx = (width + TILE - 1) // TILE
     nty = (height + TILE - 1) // TILE
@@ -1531,28 +1593,56 @@ def _sliced_fwd(xys, conics, colors, opacities, depth_key, tile_box,
         xys, conics, tile_box, depth_key, colors.astype(jnp.float32),
         opacities, ntx, nty, last_color_is_depth, precision)
 
-    base, rem = divmod(n, n_slices)
-    sizes = [base + (1 if i < rem else 0) for i in range(n_slices)]
-    start = 0
+    # PAIR-BALANCED slice boundaries (measured: equal-COUNT depth slices
+    # have ~1.7x pair imbalance at k=2 — near ranks emit far more pairs
+    # per gaussian — and capacity slack is pure superlinear-sort cost).
+    # Row trim runs ONCE over the full N; the per-gaussian pair counts'
+    # cumsum picks boundaries at pair quantiles; each slice binds its
+    # TRACED [lo, hi) rank window as a count mask over the shared
+    # depth-sorted columns.
+    trim = _trim_full(cols[:12], TILE, nty)
+    first_f, last_f, cnt_f = trim
+    cnt_full = jnp.where(jnp.isfinite(cols[0]) & (cnt_f > 0), cnt_f, 0)
+    cum = cumsum_flat(cnt_full, interpret=interpret)
+    total = cum[-1]
+    bounds = [jnp.int32(0)]
+    for s in range(1, n_slices):
+        bounds.append(jnp.searchsorted(
+            cum, (s * total) // n_slices, side="left").astype(jnp.int32))
+    bounds.append(jnp.int32(n))
+
+    # CONTINUATION compositing: slice s starts its transmittance chain
+    # from the previous slice's per-pixel T (the kernels' with_tin mode),
+    # so (a) accum comes out globally premultiplied (the merge is a plain
+    # sum), and (b) the monolithic kernel's per-pixel early termination
+    # applies ACROSS slices — without it, each slice composites from
+    # T=1 and the back slices redo work the merge multiplies by ~0
+    # (measured fwd 13->27 ms, bwd 22->47 ms at k=2 on the bench scene).
+    # Tiles with every pixel terminated additionally drop their counts
+    # entirely (no chunk DMAs, matching the monolithic loop exit).
     c_agg = jnp.zeros((num_tiles, PIX, nc), jnp.float32)
-    t_agg = jnp.ones((num_tiles, PIX), jnp.float32)
+    t_prev = None
     per_slice = []
     for s in range(n_slices):
         bins_s, feats_s = _bin_sorted(
-            cols, full_order, n, (start, sizes[s]), width, height, TILE,
-            mp_s, mr_s, interpret, False, precision)
+            cols, full_order, n, None, width, height, TILE,
+            mp_s, mr_s, interpret, False, precision,
+            rank_window=(bounds[s], bounds[s + 1]), trim=trim)
+        if s > 0:
+            t_done = jnp.max(t_prev, axis=1) <= T_EPS
+            bins_s = dataclasses.replace(
+                bins_s,
+                tile_count=jnp.where(t_done, 0, bins_s.tile_count))
         feat_s = _pack_feat_cols(feats_s, mp_s, interpret=interpret)
         accum_s, tfin_s, ncon_s = _fwd_call(
             feat_s, bins_s.tile_start, bins_s.tile_count, ntx, num_tiles,
-            nc, interpret)
-        c_agg = c_agg + t_agg[..., None] * accum_s
-        t_agg = t_agg * tfin_s
-        per_slice.append((bins_s, feat_s, accum_s, tfin_s, ncon_s,
-                          start, sizes[s]))
-        start += sizes[s]
+            nc, interpret, t_in=t_prev)
+        c_agg = c_agg + accum_s
+        per_slice.append((bins_s, feat_s, accum_s, tfin_s, ncon_s))
+        t_prev = tfin_s
 
     img = _tiles_to_image(c_agg, ntx, nty, width, height)
-    alpha = 1.0 - _tiles_to_image(t_agg, ntx, nty, width, height)
+    alpha = 1.0 - _tiles_to_image(t_prev, ntx, nty, width, height)
 
     b0 = per_slice[0][0]
     demand_p = n_slices * jnp.max(
@@ -1583,37 +1673,36 @@ def _sliced_bwd(width, height, max_pairs, max_rowruns, n_slices,
     g_t_total = -_img_to_tiles(g_alpha, 1, ntx, nty, width, height)[..., 0]
 
     k = len(per_slice)
-    # Merge cotangents. With C = sum_s P_s C_s and T = prod_s T_s where
-    # P_s = prod_{j<s} T_j (prefix transmittance):
-    #   dL/dC_s = P_s * g_C
-    #   dL/dT_s = P_s * <S_s, g_C> + P_s * Q_s * g_T
-    # where S_s = the composite of slices BEHIND s in slice s+1's frame
-    # (S_s = C_{s+1} + T_{s+1} S_{s+1}) and Q_s = prod_{j>s} T_j.
-    prefix = []
-    acc = jnp.ones_like(per_slice[0][3])
-    for s in range(k):
-        prefix.append(acc)
-        acc = acc * per_slice[s][3]
-    behind = [None] * k
-    suffix = [None] * k
-    behind[k - 1] = jnp.zeros_like(per_slice[0][2])
-    suffix[k - 1] = jnp.ones_like(acc)
-    for s in range(k - 2, -1, -1):
-        behind[s] = (per_slice[s + 1][2]
-                     + per_slice[s + 1][3][..., None] * behind[s + 1])
-        suffix[s] = per_slice[s + 1][3] * suffix[s + 1]
-
-    sums = []
-    for s in range(k):
-        bins_s, feat_s, accum_s, tfin_s, ncon_s, start, size = per_slice[s]
-        g_accum_s = prefix[s][..., None] * g_c
-        g_t_s = (prefix[s] * jnp.sum(behind[s] * g_c, axis=-1)
-                 + g_t_total * prefix[s] * suffix[s])
-        sums.append(_bwd_from_tiles(
-            bins_s, feat_s, accum_s, tfin_s, ncon_s, g_accum_s, g_t_s,
-            n, interpret, ranked=True, rank0=start, out_size=size,
-            unsort=False))
-    rank_sums = jnp.concatenate(sums, axis=1)            # (10, n)
+    # Continuation-mode cotangents. The composite is a sequential chain:
+    # slice s maps (T_in_s, stream_s) -> (accum_s, T_out_s) with
+    # T_in_{s+1} = T_out_s, C = sum_s accum_s, alpha = 1 - T_out_{k-1}.
+    # dL/daccum_s = g_C for every slice; dL/dT_out chains BACKWARD
+    # through each slice's linearity in its T_in (given the latched
+    # termination topology, accum_s and T_out_s are exactly
+    # t_in * their unit-layer values):
+    #   dL/dT_in_s = (<g_C, accum_s> + g_T_out_s * T_out_s) / T_in_s
+    # with pass-through (= g_T_out_s) where T_in_s <= T_EPS (the slice
+    # added nothing and T_out = T_in there).
+    #
+    # Slice rank windows are TRACED (pair-balanced boundaries), so each
+    # slice reduces into the full-N rank space (ranks are global; out-of-
+    # window rows contribute exact zeros) and the k sums ADD; the rank
+    # sort inside each reduce still runs at ~1/k rows — the superlinear
+    # win — and the full-N un-sort is paid once.
+    rank_sums = None
+    g_t = g_t_total
+    for s in range(k - 1, -1, -1):
+        bins_s, feat_s, accum_s, tfin_s, ncon_s = per_slice[s]
+        t_in_s = per_slice[s - 1][3] if s > 0 else None
+        rs = _bwd_from_tiles(
+            bins_s, feat_s, accum_s, tfin_s, ncon_s, g_c, g_t,
+            n, interpret, ranked=True, unsort=False, t_in=t_in_s)
+        rank_sums = rs if rank_sums is None else rank_sums + rs
+        if s > 0:
+            gdota = jnp.sum(g_c * accum_s, axis=-1)
+            g_t = jnp.where(t_in_s > T_EPS,
+                            (gdota + g_t * tfin_s)
+                            / jnp.maximum(t_in_s, T_EPS), g_t)
     seg = _unsort_rank_sums(rank_sums, full_order)
     return (seg[:, 0:2], seg[:, 2:5], seg[:, 6:6 + nc], seg[:, 5],
             jnp.zeros((n,), jnp.float32), jnp.zeros((n, 4), jnp.float32))

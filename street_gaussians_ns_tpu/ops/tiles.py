@@ -319,15 +319,42 @@ def _depth_sort_cols(xys, conics, tile_box, depth_key, colors, opacities,
              x0_s, x1_s, y0_s, y1_s, f0_s, f1_s, f2_s, f3_s), idx_s, n)
 
 
+def _trim_full(cols, tile_size, nty):
+    """Full-N row trim over depth-sorted columns (see _row_trim_counts).
+    Pay ONCE; per-slice callers pass the result via _bin_sorted(trim=...)
+    so k pair-balanced windows don't redo the (N, nty) broadcast."""
+    from ..core.projection import coverage_q
+
+    (dk_s, idx_s, x_s, y_s, ca_s, cb_s, cc_s, op_s,
+     x0_s, x1_s, y0_s, y1_s, *_f) = cols
+    box_s = jnp.stack([x0_s, x1_s, y0_s, y1_s], axis=-1)
+    return _row_trim_counts(
+        jnp.stack([ca_s, cb_s, cc_s], axis=-1),
+        jnp.stack([x_s, y_s], axis=-1), box_s, tile_size, nty,
+        q=coverage_q(op_s))
+
+
 def _bin_sorted(cols, full_order, n, depth_slice, width, height,
                 tile_size, max_pairs, max_rowruns, interpret,
-                with_gauss_idx, precision):
+                with_gauss_idx, precision, rank_window=None, trim=None):
     """Phase 2 of bin_and_pack: slice window -> row trim -> two ragged
     expansions -> pair sort -> tile ranges, all sized by the caller's
     max_rowruns/max_pairs. `cols` comes from _depth_sort_cols; the bf16
     rounding is already baked into the column VALUES there — `precision`
     here only selects the expansion kernels' exact-prefix split and the
-    pair sort's packed payload layout."""
+    pair sort's packed payload layout.
+
+    Two ways to restrict to a depth-rank window:
+      * depth_slice=(start, size): dynamic_slice with STATIC size —
+        the model-sharded path (equal gaussian counts per device);
+      * rank_window=(lo, hi): TRACED bounds over the FULL columns,
+        applied as a count mask — the single-chip pair-BALANCED slicing,
+        where window sizes are data-dependent (near ranks emit far more
+        pairs per gaussian, measured 1.68x demand imbalance at k=2 for
+        equal-count slices). Out-of-window rows keep zero counts; they
+        form contiguous zero-run prefixes/suffixes the expansion
+        kernel's monotone window machinery skips.
+    `trim` optionally passes precomputed _trim_full output."""
     from ..core.projection import coverage_q, row_tile_range
     from .expand_pallas import expand_ragged
     from .scan_pallas import cumsum_flat
@@ -338,6 +365,7 @@ def _bin_sorted(cols, full_order, n, depth_slice, width, height,
     (dk_s, idx_s, x_s, y_s, ca_s, cb_s, cc_s, op_s,
      x0_s, x1_s, y0_s, y1_s, f0_s, f1_s, f2_s, f3_s) = cols
     bf16 = precision == "bf16"
+    assert depth_slice is None or rank_window is None
 
     # Model-sharded slice: keep the FULL depth order (the gradient
     # reduce's final un-sort needs it), then restrict every per-gaussian
@@ -365,14 +393,19 @@ def _bin_sorted(cols, full_order, n, depth_slice, width, height,
     # Trim each box to its nonzero-width rows + exact per-gaussian pair
     # count (gather-free; also guarantees counts >= 1 per enumerated row,
     # the expansion kernel's window invariant).
-    from ..core.projection import coverage_q
-
-    box_s = jnp.stack([x0_s, x1_s, y0_s, y1_s], axis=-1)
-    first, last, count_g = _row_trim_counts(
-        jnp.stack([ca_s, cb_s, cc_s], axis=-1),
-        jnp.stack([x_s, y_s], axis=-1), box_s, tile_size, nty,
-        q=coverage_q(op_s))
+    if trim is not None:
+        first, last, count_g = trim
+        if depth_slice is not None:
+            first, last, count_g = map(dsl, (first, last, count_g))
+    else:
+        sliced_cols = (dk_s, idx_s, x_s, y_s, ca_s, cb_s, cc_s, op_s,
+                       x0_s, x1_s, y0_s, y1_s)
+        first, last, count_g = _trim_full(sliced_cols, tile_size, nty)
     nz = jnp.isfinite(dk_s) & (count_g > 0)
+    if rank_window is not None:
+        win_lo, win_hi = rank_window
+        ridx = jnp.arange(n, dtype=jnp.int32)
+        nz = nz & (ridx >= win_lo) & (ridx < win_hi)
     count_g = jnp.where(nz, count_g, 0)
     # Capacity-INDEPENDENT totals: the host's capacity-growth rule reads
     # these, so they must report the true workload even when the static
