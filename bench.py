@@ -157,6 +157,20 @@ def main():
             detail["heldout_protocol"] = r["detail"].get("protocol")
     except Exception:
         pass
+    # Speed-of-light budget (round 5, tools/sol_budget.py — derivation +
+    # on-chip chunk-count probe; README "Speed of light" table).
+    detail["sol"] = {
+        "step_floor_ms_current_algorithms": 47.0,
+        "kernel_mfu": "fwd 12.2 ms / bwd 21.8 ms run at ~1.5 vector "
+                      "ops/cycle (15242 chunks x ~70/~130 (256,64) ops) "
+                      "— AT the VPU issue roofline (multi-ALU dual "
+                      "issue); classic FLOP-MFU is meaningless for a "
+                      "select/compare compositing recurrence. Kernel "
+                      "work is done; headroom lives in movement: "
+                      "pair_sort 2.8x, grad_reduce 4.4x, expansions "
+                      "~31x, row_trim ~12x, cumsums ~39x above their "
+                      "resource bounds (table: tools/sol_budget.py).",
+    }
     detail["roofline"] = (
         "step anatomy (trace, ms, round 4): pair-sort 16.2 (was 20: all "
         "binning sorts now 2-key UNSTABLE with a unique tiebreak key - "
