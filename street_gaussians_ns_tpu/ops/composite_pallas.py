@@ -1268,7 +1268,7 @@ def rasterize_tiles_pallas(
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16))
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16, 17))
 def rasterize_pallas_strip_fused_core(xys, conics, colors, opacities,
                                       depth_key, tile_box, tile0f,
                                       slice0f,
@@ -1277,7 +1277,8 @@ def rasterize_pallas_strip_fused_core(xys, conics, colors, opacities,
                                       max_rowruns, interpret: bool = False,
                                       last_color_is_depth: bool = False,
                                       precision: str = "f32",
-                                      slice_size=None):
+                                      slice_size=None,
+                                      balance_axis=None):
     """Strip variant of the FUSED bin+pack+composite: bins the scene with
     the feature columns riding the sorts (no _build_feat row gather —
     ~77 ms at bench scale), then composites only tiles [tile0, tile0 +
@@ -1291,31 +1292,91 @@ def rasterize_pallas_strip_fused_core(xys, conics, colors, opacities,
     scales with the caller's per-device max_pairs (~1/M of the scene),
     and per-slice (accum, 1-T) layers merge EXACTLY in depth order via
     the associative over-operator (parallel.sharded._combine_layers).
-    Gradients still return full-N (the threaded rank column is global)."""
+    Gradients still return full-N (the threaded rank column is global).
+
+    balance_axis (static mesh-axis name, round 5): PAIR-BALANCED windows.
+    Each device trims its EQUAL-COUNT window of the (replicated) depth
+    order, the per-gaussian pair counts all_gather over the axis (the
+    equal windows partition the sorted order in device order, so the
+    gather IS the full-N count array), and the cumsum's quantiles pick
+    balanced [b_m, b_{m+1}) windows — clamped so every window fits the
+    STATIC 2x-equal-split size (gaussian-shaped work stays ~2/M) while
+    pair loads balance to ~1.05x mean (equal-count slicing measured
+    1.68x at the bench scene's depth distribution)."""
     out, _ = _strip_fused_fwd(xys, conics, colors, opacities, depth_key,
                               tile_box, tile0f, slice0f, width, height,
                               n_tiles, max_pairs, max_rowruns, interpret,
-                              last_color_is_depth, precision, slice_size)
+                              last_color_is_depth, precision, slice_size,
+                              balance_axis)
     return out
+
+
+def _balanced_window(cols, n, sl0, slice_size, nty, interpret,
+                     balance_axis):
+    """Pair-balanced device window over the replicated depth order.
+    Returns (win_start, static_size, slice_len, trim_full)."""
+    from .scan_pallas import cumsum_flat
+    from .tiles import _trim_full
+
+    loc = tuple(jax.lax.dynamic_slice_in_dim(c, sl0, slice_size)
+                for c in cols[:12])
+    first_l, last_l, cnt_l = _trim_full(loc, TILE, nty)
+
+    def ag(x):
+        return jax.lax.all_gather(x, balance_axis, axis=0, tiled=True)
+
+    firsts, lasts, cnts = ag(first_l), ag(last_l), ag(cnt_l)
+    m_size = firsts.shape[0] // slice_size
+    cnt_full = jnp.where(jnp.isfinite(cols[0]) & (cnts > 0), cnts, 0)
+    cum = cumsum_flat(cnt_full, interpret=interpret)
+    total = cum[-1]
+    s_cap = min(2 * slice_size, n)
+    # Feasibility-clamped quantile bounds, computed identically on every
+    # device: monotone, window <= s_cap, and the remaining windows can
+    # still cover the tail.
+    bounds = [jnp.int32(0)]
+    for j in range(1, m_size):
+        q = jnp.searchsorted(cum, (j * total) // m_size,
+                             side="left").astype(jnp.int32)
+        lo = jnp.maximum(bounds[-1], n - (m_size - j) * s_cap)
+        bounds.append(jnp.clip(q, lo, bounds[-1] + s_cap))
+    bounds.append(jnp.int32(n))
+    b = jnp.stack(bounds)
+    m = sl0 // slice_size
+    win0 = b[m]
+    slice_len = b[m + 1] - b[m]
+    return win0, s_cap, slice_len, (firsts, lasts, cnts)
 
 
 def _strip_fused_fwd(xys, conics, colors, opacities, depth_key, tile_box,
                      tile0f, slice0f, width, height, n_tiles, max_pairs,
                      max_rowruns, interpret, last_color_is_depth,
-                     precision, slice_size=None):
-    from .tiles import bin_and_pack
+                     precision, slice_size=None, balance_axis=None):
+    from .tiles import _bin_sorted, _depth_sort_cols
 
     ntx = (width + TILE - 1) // TILE
+    nty = (height + TILE - 1) // TILE
     nc = colors.shape[-1]
     tile0 = tile0f.astype(jnp.int32)
-    depth_slice = (None if slice_size is None
-                   else (slice0f.astype(jnp.int32), slice_size))
-    bins, feats = bin_and_pack(
+    if max_rowruns is None:
+        max_rowruns = max_pairs // 2
+    cols, full_order, n = _depth_sort_cols(
         xys, conics, tile_box, depth_key, colors.astype(jnp.float32),
-        opacities, width, height, TILE, max_pairs, max_rowruns,
-        interpret=interpret, with_gauss_idx=False,
-        last_color_is_depth=last_color_is_depth, precision=precision,
-        depth_slice=depth_slice)
+        opacities, ntx, nty, last_color_is_depth, precision)
+    if slice_size is not None and balance_axis is not None:
+        sl0 = slice0f.astype(jnp.int32)
+        win0, s_cap, slice_len, trim = _balanced_window(
+            cols, n, sl0, slice_size, nty, interpret, balance_axis)
+        bins, feats = _bin_sorted(
+            cols, full_order, n, (win0, s_cap), width, height, TILE,
+            max_pairs, max_rowruns, interpret, False, precision,
+            trim=trim, slice_len=slice_len)
+    else:
+        depth_slice = (None if slice_size is None
+                       else (slice0f.astype(jnp.int32), slice_size))
+        bins, feats = _bin_sorted(
+            cols, full_order, n, depth_slice, width, height, TILE,
+            max_pairs, max_rowruns, interpret, False, precision)
     feat = _pack_feat_cols(feats, max_pairs, interpret=interpret)
     # Pad the per-tile ranges so the LAST model column's strip (whose
     # tile range may extend past the real grid when num_tiles does not
@@ -1339,7 +1400,7 @@ def _strip_fused_fwd(xys, conics, colors, opacities, depth_key, tile_box,
 
 def _strip_fused_bwd(width, height, n_tiles, max_pairs, max_rowruns,
                      interpret, last_color_is_depth, precision,
-                     slice_size, residuals, cotangents):
+                     slice_size, balance_axis, residuals, cotangents):
     (bins, feat, accum, tfin, ncon, starts, counts, tile0) = residuals
     ntx = (width + TILE - 1) // TILE
     num_gaussians = bins.depth_order.shape[0]
@@ -1380,7 +1441,8 @@ def composite_tiles_pallas_fused(proj, colors, opacities, tile0,
                                  interpret: bool = False,
                                  last_color_is_depth: bool = False,
                                  precision: str = "f32",
-                                 slice0=0, slice_size=None):
+                                 slice0=0, slice_size=None,
+                                 balance_axis=None):
     """Fused-binning strip compositor for the sharded main pass: same
     contract as the removed non-fused strip path (accum (n_tiles, PIX,
     C), alpha
@@ -1398,7 +1460,7 @@ def composite_tiles_pallas_fused(proj, colors, opacities, tile0,
         depth_key, proj.tile_box.astype(jnp.float32),
         jnp.asarray(tile0, jnp.float32), jnp.asarray(slice0, jnp.float32),
         width, height, n_tiles, max_pairs, max_rowruns, interpret,
-        last_color_is_depth, precision, slice_size)
+        last_color_is_depth, precision, slice_size, balance_axis)
     return accum, alpha, bins
 
 

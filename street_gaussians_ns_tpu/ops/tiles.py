@@ -336,7 +336,8 @@ def _trim_full(cols, tile_size, nty):
 
 def _bin_sorted(cols, full_order, n, depth_slice, width, height,
                 tile_size, max_pairs, max_rowruns, interpret,
-                with_gauss_idx, precision, rank_window=None, trim=None):
+                with_gauss_idx, precision, rank_window=None, trim=None,
+                slice_len=None):
     """Phase 2 of bin_and_pack: slice window -> row trim -> two ragged
     expansions -> pair sort -> tile ranges, all sized by the caller's
     max_rowruns/max_pairs. `cols` comes from _depth_sort_cols; the bf16
@@ -354,7 +355,14 @@ def _bin_sorted(cols, full_order, n, depth_slice, width, height,
         equal-count slices). Out-of-window rows keep zero counts; they
         form contiguous zero-run prefixes/suffixes the expansion
         kernel's monotone window machinery skips.
-    `trim` optionally passes precomputed _trim_full output."""
+    `slice_len` (traced), with depth_slice=(start, SIZE): only the first
+    slice_len rows of the STATIC-size window are live — the sharded
+    pair-balanced windows (parallel.sharded): static per-device window
+    SIZE (2x the equal split) with traced balanced [start, start +
+    slice_len) occupancy, so gaussian-shaped work stays ~1/M while pair
+    loads balance.
+    `trim` optionally passes precomputed _trim_full output (FULL-N; it
+    is windowed here alongside the columns)."""
     from ..core.projection import coverage_q, row_tile_range
     from .expand_pallas import expand_ragged
     from .scan_pallas import cumsum_flat
@@ -406,6 +414,8 @@ def _bin_sorted(cols, full_order, n, depth_slice, width, height,
         win_lo, win_hi = rank_window
         ridx = jnp.arange(n, dtype=jnp.int32)
         nz = nz & (ridx >= win_lo) & (ridx < win_hi)
+    if slice_len is not None:
+        nz = nz & (jnp.arange(nloc, dtype=jnp.int32) < slice_len)
     count_g = jnp.where(nz, count_g, 0)
     # Capacity-INDEPENDENT totals: the host's capacity-growth rule reads
     # these, so they must report the true workload even when the static
