@@ -190,20 +190,28 @@ def main():
         "tools/bench_tile_overhead.py.")
     detail["scaling"] = {
         "model_axis_comm_MB_per_step": {
-            "attrs_all_gather": 64, "layer_all_gather_per_peer": 33.8,
-            "formula": "2*64*(M-1)/M + 2*33.8*(M-1) over ICI "
-                       "~50 GB/s/direction"},
+            "attrs_all_gather": 64,
+            "layer_all_gather_per_peer_bf16": 16.9,
+            "formula": "2*64*(M-1)/M + 2*16.9*(M-1) over ICI "
+                       "~50 GB/s/direction (bf16 layer gather, round 5)"},
         "data_axis_comm_MB_per_step": {
             "grad_psum": "2*236/M (59 f32/gaussian, model-sharded)"},
-        "projected_step_ms_model_axis": {"M=2": 93, "M=4": 56, "M=8": 42},
+        "projected_step_ms_model_axis": {"M=2": 76, "M=4": 46, "M=8": 33},
         "projected_2host_dp_efficiency": "~93% (236 MB over DCN 25 GB/s "
                                          "= 9.4 ms vs 125 ms step)",
-        "notes": "sky sampling AND the SSIM loss are row-BANDED across "
-                 "the model axis (round 4); remaining replicated terms "
-                 "(full-N depth sort 4.4 + grad unsort ~3 + rank_rowsum "
-                 "~2) + the layer all_gather cap the model axis at "
-                 "~3.1x at M=8; arithmetic in README 'Scaling model "
-                 "(round 4)'."}
+        "notes": "round 5: PAIR-BALANCED device windows (equal-count "
+                 "slices measured 1.68x pair imbalance; balanced via "
+                 "trim-count all_gather + cumsum quantiles, virtual-mesh "
+                 "exact) + bf16 layer all_gather lift the M=8 "
+                 "projection 3.1x -> 3.7x; the remaining replicated "
+                 "~10 ms (full-N depth sort + grad unsort + "
+                 "rank_rowsum) falls to the designed splitter-bucketed "
+                 "distributed sort (-> ~4.9x) + ordered layer scan "
+                 "(-> ~5.7x) — arithmetic in README 'Scaling model'. "
+                 "2-process DCN smoke now ALSO runs at bench-like "
+                 "shapes (256x256, 114k gaussians, bf16, capacity "
+                 "growth across the process boundary) in BOTH mesh "
+                 "directions (tests/test_multihost.py --scale)."}
     print(json.dumps({
         "metric": "rasterize_fwd_bwd_mpix_per_s",
         "value": round(mpix_s, 2),

@@ -66,7 +66,7 @@ def _pad_to(x, n, axis=0, fill=0):
     return jnp.pad(x, widths, constant_values=fill)
 
 
-def _combine_layers(accum, alpha, axis_name="model"):
+def _combine_layers(accum, alpha, axis_name="model", bf16=False):
     """Merge per-slice (premultiplied accum, layer alpha) ACROSS the
     model axis with the associative over operator — THE merge compositor
     for model-sharded binning.
@@ -85,9 +85,24 @@ def _combine_layers(accum, alpha, axis_name="model"):
     Autodiff through the python loop + all_gather gives the backward: the
     all_gather transposes to a psum_scatter handing each slice its layer
     cotangent, weighted by the prefix/suffix transmittance products.
-    Returns (accum_total (T,PIX,C), alpha_total (T,PIX))."""
-    la = jax.lax.all_gather(accum, axis_name, axis=0)       # (M, T, PIX, C)
-    lt = jax.lax.all_gather(1.0 - alpha, axis_name, axis=0)  # (M, T, PIX)
+    Returns (accum_total (T,PIX,C), alpha_total (T,PIX)).
+
+    bf16=True rides the layer all_gather — the model axis's dominant
+    comm term, (M-1) x 33.8 MB/device at bench scale — in bfloat16
+    (halves it; the merge arithmetic upcasts back to f32). Only enabled
+    when the render pipeline is already bf16-quantized: the layer values
+    are premultiplied colors/transmittances in [0, 1], so the ~2^-8
+    relative rounding matches the sort-payload rounding budget."""
+    if bf16:
+        def ag(x):
+            return jax.lax.all_gather(x.astype(jnp.bfloat16), axis_name,
+                                      axis=0).astype(jnp.float32)
+    else:
+        def ag(x):
+            return jax.lax.all_gather(x, axis_name, axis=0)
+
+    la = ag(accum)                                          # (M, T, PIX, C)
+    lt = ag(1.0 - alpha)                                    # (M, T, PIX)
     m = la.shape[0]
     out = jnp.zeros_like(la[0])
     t = jnp.ones_like(lt[0])
@@ -268,7 +283,9 @@ def sharded_scene_loss(
                     balance_axis="model" if model_size > 1 else None)
 
             accum_l, alpha_l, bins_main = layer(opac_pad, colors4_pad)
-            accum_t, alpha_t = _combine_layers(accum_l, alpha_l)
+            accum_t, alpha_t = _combine_layers(
+                accum_l, alpha_l,
+                bf16=(render_config.precision == "bf16"))
             if subset_accs:
                 # Alpha-only subset layers: zeroed opacities emit no
                 # pairs (opacity-aware coverage), colors are ignored.

