@@ -608,7 +608,12 @@ def count_pairs(
         proj.conics, proj.xys, proj.tile_box.astype(jnp.int32), tile_size,
         nty, q=coverage_q(op_col))
     nz = visible & (cnt > 0)
-    rowruns = jnp.where(nz, last - first + 1, 0)
+    # UNTRIMMED box rows: the portable path (bin_gaussians) enumerates
+    # full box heights while the fused path trims — sizing from the
+    # larger convention keeps the probe safe for both (slightly
+    # conservative for pallas).
+    box = proj.tile_box.astype(jnp.int32)
+    rowruns = jnp.where(visible, box[:, 3] - box[:, 2], 0)
     return jnp.sum(jnp.where(nz, cnt, 0)), jnp.sum(rowruns)
 
 

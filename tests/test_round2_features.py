@@ -128,7 +128,11 @@ def test_trainer_grows_pair_capacity_from_undersized(clip,
     data_cfg, scene_cfg, trainer_cfg, dm_cfg = small_configs(clip, out)
     trainer_cfg = dataclasses.replace(
         trainer_cfg, max_pairs=256, max_num_iterations=11,
-        steps_per_eval_image=100, steps_per_save=100)
+        steps_per_eval_image=100, steps_per_save=100,
+        # This test exercises the mid-run growth ladder from a
+        # deliberately undersized start; the round-5 pre-sizing probe
+        # would fix the capacity at init and bypass it.
+        presize_pairs=False)
     trainer = Trainer(data_cfg, scene_cfg, trainer_cfg, dm_cfg)
     assert trainer.render_config.max_pairs == 256
     trainer.train()
