@@ -113,3 +113,13 @@ class FullImageDatamanager:
     def fixed_indices_train(self):
         for idx in self.scene.train_indices:
             yield self._frame_to_sample(self._cache[int(idx)], int(idx))
+
+    def train_camera(self, i: int) -> Camera:
+        """Camera of the i-th train frame WITHOUT touching the epoch
+        sampler or loading a batch (the trainer's pre-sizing probe must
+        not consume training samples)."""
+        idx = int(self.scene.train_indices[i])
+        frame = self._cache[idx]
+        return Camera.make(frame.fx, frame.fy, frame.cx, frame.cy,
+                           frame.c2w, frame.width, frame.height,
+                           time=frame.time)

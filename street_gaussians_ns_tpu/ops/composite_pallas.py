@@ -871,8 +871,7 @@ def _unsort_rank_sums(rank_sums, depth_order):
 def _reduce_pair_grads_ranked(gpair: jax.Array, starts: jax.Array,
                               nbwd: jax.Array, num_pairs: jax.Array,
                               depth_order: jax.Array, num_gaussians: int,
-                              interpret: bool = False, rank0: int = 0,
-                              out_size: int | None = None,
+                              interpret: bool = False,
                               unsort: bool = True) -> jax.Array:
     """Rank-keyed gradient reduction for the fused path.
 
@@ -898,21 +897,15 @@ def _reduce_pair_grads_ranked(gpair: jax.Array, starts: jax.Array,
       4. rank -> original order: sorting depth_order with the sums as
          payloads IS the inverse permutation.
 
-    Depth-slice mode (round 5): when the caller binned a depth-rank
-    window [rank0, rank0+out_size) — the single-chip depth-slice
-    decomposition — the threaded ranks are GLOBAL; `rank0`/`out_size`
-    shift them into the window and size the rank_rowsum output to the
-    slice, and `unsort=False` returns the (10, out_size) f32 rank-space
-    sums so the caller concatenates the slices and pays step 4's full-N
-    un-sort ONCE. Dead all-zero rows carry rank 0 -> shifted negative
-    (or 0 for the first slice), contributing exact zeros either way.
+    unsort=False (the depth-sliced backward, round 5) returns the
+    (10, N) f32 rank-space sums instead of step 4's result: the caller
+    sums per-slice rank sums (ranks are GLOBAL; each slice's rows
+    outside its window are all-zero) and pays the full-N un-sort ONCE.
     """
     from .segreduce_pallas import rank_rowsum
 
     nrows = gpair.shape[0]
     ng = 10
-    if out_size is None:
-        out_size = num_gaussians
     # Compaction-cap LADDER: the rank sort dominates the reduce and
     # lax.sort is superlinear in rows (~P^1.64, tools/bench_sort_ops.py),
     # so sorting the tightest level the live set fits is a direct win.
@@ -951,12 +944,7 @@ def _reduce_pair_grads_ranked(gpair: jax.Array, starts: jax.Array,
 
     def reduce_rows(rows3):
         p_len = rows3.shape[0] * K
-        # Shift global ranks into the slice window; clip into rank_rowsum's
-        # [0, out_size] contract (out_size = discard bucket). Out-of-window
-        # values only occur on DEAD rows (all-zero grads: the rank-0 dead
-        # fill and the sentinel-n pad), so clipping is exact.
-        rank = jnp.clip(rows3[:, 10, :].reshape(-1).astype(jnp.int32)
-                        - rank0, 0, out_size)
+        rank = rows3[:, 10, :].reshape(-1).astype(jnp.int32)
         if GRAD_PACK_BF16 and (
                 jax.default_backend() == "tpu" or GRAD_PACK_BF16 == "force"):
             u = jax.lax.bitcast_convert_type(
@@ -986,7 +974,7 @@ def _reduce_pair_grads_ranked(gpair: jax.Array, starts: jax.Array,
                 num_keys=1, is_stable=False)
             rank_s, rows_cm = srt[0], list(srt[1:])
         rows11 = jnp.stack(rows_cm + [rank_s.astype(jnp.float32)])
-        return rank_rowsum(rows11, rank_s, out_size, interpret)
+        return rank_rowsum(rows11, rank_s, num_gaussians, interpret)
 
     def level(i):
         """Nested conds over the cap ladder; the final else is the
@@ -1176,8 +1164,8 @@ def _img_to_tiles(img, c, ntx, nty, width, height):
 
 
 def _bwd_from_tiles(bins, feat, accum, tfin, ncon, g_accum, g_t,
-                    num_gaussians, interpret, ranked=False, rank0=0,
-                    out_size=None, unsort=True, t_in=None):
+                    num_gaussians, interpret, ranked=False,
+                    unsort=True, t_in=None):
     """Backward from TILE-LAYOUT cotangents (g_accum (T,PIX,C) = dL/d
     premultiplied accum, g_t (T,PIX) = dL/dT_final): kernel replay +
     pair-grad reduction. The sliced path calls this per depth slice with
@@ -1210,8 +1198,7 @@ def _bwd_from_tiles(bins, feat, accum, tfin, ncon, g_accum, g_t,
     if ranked:
         return _reduce_pair_grads_ranked(
             gpair, bins.tile_start, nchunks_bwd, bins.num_pairs,
-            bins.depth_order, num_gaussians, interpret, rank0=rank0,
-            out_size=out_size, unsort=unsort)
+            bins.depth_order, num_gaussians, interpret, unsort=unsort)
     return _reduce_pair_grads(gpair, bins, num_gaussians, nc, interpret)
 
 
@@ -1343,9 +1330,15 @@ def _balanced_window(cols, n, sl0, slice_size, nty, interpret,
     bounds.append(jnp.int32(n))
     b = jnp.stack(bounds)
     m = sl0 // slice_size
-    win0 = b[m]
-    slice_len = b[m + 1] - b[m]
-    return win0, s_cap, slice_len, (firsts, lasts, cnts)
+    # dynamic_slice CLAMPS starts past n - size (XLA semantics) — anchor
+    # the static window explicitly and express the device's true rank
+    # window as a LOCAL [off, off+len) occupancy inside it, so a bound
+    # near the tail (guaranteed at m_size=2, where s_cap == n) never
+    # silently shifts the composited ranks (round-5 review finding).
+    anchor = jnp.minimum(b[m], n - s_cap)
+    off = b[m] - anchor
+    return anchor, s_cap, (off, off + b[m + 1] - b[m]), (firsts, lasts,
+                                                         cnts)
 
 
 def _strip_fused_fwd(xys, conics, colors, opacities, depth_key, tile_box,
@@ -1365,12 +1358,12 @@ def _strip_fused_fwd(xys, conics, colors, opacities, depth_key, tile_box,
         opacities, ntx, nty, last_color_is_depth, precision)
     if slice_size is not None and balance_axis is not None:
         sl0 = slice0f.astype(jnp.int32)
-        win0, s_cap, slice_len, trim = _balanced_window(
+        anchor, s_cap, local_win, trim = _balanced_window(
             cols, n, sl0, slice_size, nty, interpret, balance_axis)
         bins, feats = _bin_sorted(
-            cols, full_order, n, (win0, s_cap), width, height, TILE,
+            cols, full_order, n, (anchor, s_cap), width, height, TILE,
             max_pairs, max_rowruns, interpret, False, precision,
-            trim=trim, slice_len=slice_len)
+            trim=trim, local_window=local_win)
     else:
         depth_slice = (None if slice_size is None
                        else (slice0f.astype(jnp.int32), slice_size))
@@ -1685,11 +1678,18 @@ def _sliced_fwd(xys, conics, colors, opacities, depth_key, tile_box,
     c_agg = jnp.zeros((num_tiles, PIX, nc), jnp.float32)
     t_prev = None
     per_slice = []
+    tile_count_true = None
     for s in range(n_slices):
         bins_s, feats_s = _bin_sorted(
             cols, full_order, n, None, width, height, TILE,
             mp_s, mr_s, interpret, False, precision,
             rank_window=(bounds[s], bounds[s + 1]), trim=trim)
+        # True binned counts BEFORE termination gating: the public
+        # max_tile_count metric must report the scene's densest tile
+        # (it drives the portable-path truncation warning), not the
+        # post-termination workload.
+        tile_count_true = (bins_s.tile_count if tile_count_true is None
+                          else tile_count_true + bins_s.tile_count)
         if s > 0:
             t_done = jnp.max(t_prev, axis=1) <= T_EPS
             bins_s = dataclasses.replace(
@@ -1711,10 +1711,9 @@ def _sliced_fwd(xys, conics, colors, opacities, depth_key, tile_box,
         jnp.stack([ps[0].num_pairs for ps in per_slice]))
     demand_r = n_slices * jnp.max(
         jnp.stack([ps[0].num_rowruns for ps in per_slice]))
-    tile_count = sum(ps[0].tile_count for ps in per_slice)
     bins_pub = TileBins(
         gauss_idx=b0.gauss_idx, pair_valid=b0.pair_valid,
-        tile_start=b0.tile_start, tile_count=tile_count,
+        tile_start=b0.tile_start, tile_count=tile_count_true,
         num_pairs=demand_p, num_rowruns=demand_r,
         exp_slot=b0.exp_slot, depth_order=full_order,
         exp_starts=b0.exp_starts, exp_counts=b0.exp_counts,

@@ -337,7 +337,7 @@ def _trim_full(cols, tile_size, nty):
 def _bin_sorted(cols, full_order, n, depth_slice, width, height,
                 tile_size, max_pairs, max_rowruns, interpret,
                 with_gauss_idx, precision, rank_window=None, trim=None,
-                slice_len=None):
+                local_window=None):
     """Phase 2 of bin_and_pack: slice window -> row trim -> two ragged
     expansions -> pair sort -> tile ranges, all sized by the caller's
     max_rowruns/max_pairs. `cols` comes from _depth_sort_cols; the bf16
@@ -355,12 +355,13 @@ def _bin_sorted(cols, full_order, n, depth_slice, width, height,
         equal-count slices). Out-of-window rows keep zero counts; they
         form contiguous zero-run prefixes/suffixes the expansion
         kernel's monotone window machinery skips.
-    `slice_len` (traced), with depth_slice=(start, SIZE): only the first
-    slice_len rows of the STATIC-size window are live — the sharded
-    pair-balanced windows (parallel.sharded): static per-device window
-    SIZE (2x the equal split) with traced balanced [start, start +
-    slice_len) occupancy, so gaussian-shaped work stays ~1/M while pair
-    loads balance.
+    `local_window=(lo, hi)` (traced), with depth_slice=(anchor, SIZE):
+    only local rows [lo, hi) of the STATIC-size window are live — the
+    sharded pair-balanced windows (parallel.sharded): static per-device
+    window SIZE (2x the equal split) anchored at min(b_m, n - SIZE) with
+    traced balanced occupancy inside it, so gaussian-shaped work stays
+    ~2/M while pair loads balance (the anchor clamp keeps dynamic_slice
+    from silently shifting the composited ranks near the tail).
     `trim` optionally passes precomputed _trim_full output (FULL-N; it
     is windowed here alongside the columns)."""
     from ..core.projection import coverage_q, row_tile_range
@@ -414,8 +415,9 @@ def _bin_sorted(cols, full_order, n, depth_slice, width, height,
         win_lo, win_hi = rank_window
         ridx = jnp.arange(n, dtype=jnp.int32)
         nz = nz & (ridx >= win_lo) & (ridx < win_hi)
-    if slice_len is not None:
-        nz = nz & (jnp.arange(nloc, dtype=jnp.int32) < slice_len)
+    if local_window is not None:
+        lidx = jnp.arange(nloc, dtype=jnp.int32)
+        nz = nz & (lidx >= local_window[0]) & (lidx < local_window[1])
     count_g = jnp.where(nz, count_g, 0)
     # Capacity-INDEPENDENT totals: the host's capacity-growth rule reads
     # these, so they must report the true workload even when the static

@@ -98,16 +98,25 @@ RCFG_PALLAS = RenderConfig(max_pairs=16384, impl="pallas", interpret=True)
 
 
 @pytest.mark.slow
-def test_sharded_pallas_strip_matches_single_pallas():
+@pytest.mark.parametrize("model", [
+    8,
+    # model=2 regression (round-5 review): the pair-balanced window's
+    # static size equals n there (s_cap = min(2*slice_size, n) = n), so
+    # dynamic_slice would CLAMP any nonzero balanced start to 0 — the
+    # anchored-window fix expresses the device window as a local
+    # occupancy inside the clamp-safe anchor.
+    2,
+])
+def test_sharded_pallas_strip_matches_single_pallas(model):
     """The PRODUCTION path (round 4: MODEL-SHARDED BINNING): each model
     column bins only its depth-rank slice and composites a full-grid
-    layer; layers merge with the associative over operator. The (1, 8)
+    layer; layers merge with the associative over operator. The (1, M)
     mesh must reproduce the single-device Pallas step. (Association and
     the per-slice T_EPS cut differ from the sequential kernel at ~1e-6 —
     within the 1e-5 tolerances here; if a future scene puts near-zero
     gradients on the Adam sign boundary, loosen the PARAM tolerance, not
     the loss one.)"""
-    mesh = make_mesh(data=1, model=8)
+    mesh = make_mesh(data=1, model=model)
     cfg = dataclasses.replace(CFG, base=dataclasses.replace(
         CFG.base, use_sky_sphere=False))
     store = dataclasses.replace(make_store(), env_map=None)
