@@ -1301,7 +1301,9 @@ def rasterize_pallas_strip_fused_core(xys, conics, colors, opacities,
 def _balanced_window(cols, n, sl0, slice_size, nty, interpret,
                      balance_axis):
     """Pair-balanced device window over the replicated depth order.
-    Returns (win_start, static_size, slice_len, trim_full)."""
+    Returns (anchor, static_size, (local_lo, local_hi), trim_full) —
+    the device's true rank window is [anchor+local_lo, anchor+local_hi)
+    inside the clamp-safe [anchor, anchor+static_size) slice."""
     from .scan_pallas import cumsum_flat
     from .tiles import _trim_full
 
