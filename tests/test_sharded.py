@@ -310,3 +310,47 @@ def test_sharded_pallas_mixed_pad_strip_matches_single():
     np.testing.assert_allclose(
         np.asarray(s_sh.store.background.xys_grad_norm),
         np.asarray(s_ref.store.background.xys_grad_norm), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_sharded_pallas_far_heavy_distribution_matches_single():
+    """Round-5 review follow-up: the pair-balanced window bounds are
+    feasibility-clamped (monotone, <= static window size, tail
+    coverage); the original tests only exercised NEAR-heavy scenes where
+    the lower clamp binds. This scene puts the pair mass at the FAR end
+    of the depth order (far splats scaled 6x larger), driving the
+    quantile bounds toward the tail where the anchor clamp engages."""
+    mesh = make_mesh(data=1, model=4)
+    cfg = dataclasses.replace(CFG, base=dataclasses.replace(
+        CFG.base, use_sky_sphere=False))
+    store = dataclasses.replace(make_store(), env_map=None)
+    # Far-heavy: scale splats up with distance from the camera.
+    bg = store.background
+    depth = -bg.params.means[:, 2]
+    boost = jnp.log1p(jnp.clip(depth - 8.0, 0.0, None) * 1.5)[:, None]
+    bg = dataclasses.replace(bg, params=dataclasses.replace(
+        bg.params, scales=bg.params.scales + boost))
+    store = dataclasses.replace(store, background=bg)
+    tracks = make_tracks()
+    state = init_scene_train_state(store, jax.random.PRNGKey(0))
+    cam = make_cameras(1)[0]
+    batch = {"image": jnp.full((H, W, 3), 0.4)}
+
+    s_ref, m_ref = jax.jit(
+        lambda s: scene_train_step(s, tracks, cam, batch, cfg,
+                                   RCFG_PALLAS))(state)
+    step = make_sharded_train_step(mesh, cfg, RCFG_PALLAS, W, H,
+                                   cap_bg=store.background.capacity)
+    with jax.set_mesh(mesh):
+        s_sh, m_sh = step(state, tracks, stack_cameras([cam]),
+                          stack_batches([batch], H, W))
+    # Loss tolerance 5e-5: this scene maximizes the documented per-slice
+    # T_EPS semantic deviation (each slice cuts on its LOCAL
+    # transmittance; huge opaque far splats put many pairs on the
+    # termination boundary — measured 2.1e-5 rel). The PARAM check below
+    # stays at 1e-5: a mis-windowed device would diverge grossly there.
+    np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]),
+                               rtol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_sh.store.background.params.means),
+        np.asarray(s_ref.store.background.params.means), atol=1e-5)
