@@ -283,9 +283,13 @@ def sharded_scene_loss(
                     balance_axis="model" if model_size > 1 else None)
 
             accum_l, alpha_l, bins_main = layer(opac_pad, colors4_pad)
+            # bf16 gather only when there is something to gather: at
+            # M=1 it would just quantize the lone layer (and break the
+            # (1,1)-mesh bit-identical-to-single-device property).
             accum_t, alpha_t = _combine_layers(
                 accum_l, alpha_l,
-                bf16=(render_config.precision == "bf16"))
+                bf16=(render_config.precision == "bf16"
+                      and model_size > 1))
             if subset_accs:
                 # Alpha-only subset layers: zeroed opacities emit no
                 # pairs (opacity-aware coverage), colors are ignored.
